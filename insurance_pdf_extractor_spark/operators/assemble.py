@@ -1,0 +1,162 @@
+"""Stage 4 — span assembly: stripped text lines + media passthrough →
+the final ordered spans array (kind, text, media_ref, offset).
+
+Ordering is by byte offset into the source document — a pure function
+of content, so the emitted (kind, text, media_ref, order) sequence is
+identical at any parallelism level (north rule invariant).
+
+Two execution paths:
+
+- ``extract_spans_udf``: fused Stage1→4 scalar pandas_udf for
+  normal-sized documents. One Arrow round-trip, zero shuffles — each
+  document is one row, so the whole extraction is embarrassingly
+  parallel.
+- shard path (see plans/pipeline.py): oversized documents are split
+  into page-range shards first (``shard_content_udf``), tokenized and
+  laid out per shard, then merged per doc_id with
+  ``merge_sharded_lines`` (applyInPandas) where boilerplate stripping
+  and media interleave run on the merged line set.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import SPAN
+from .boilerplate import strip_boilerplate
+from .layout import layout_lines
+from .tokenize import tokenize_content
+
+SHARD = T.StructType(
+    [
+        T.StructField("shard_idx", T.IntegerType(), False),
+        T.StructField("chunk", T.BinaryType(), False),
+        T.StructField("base_offset", T.LongType(), False),
+        T.StructField("base_page", T.IntegerType(), False),
+    ]
+)
+
+LINE = T.StructType(
+    [
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("off", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def assemble_spans(
+    lines: list[tuple[int, int, str]],
+    media: list[tuple[str, int]] | None,
+) -> list[dict]:
+    spans: list[dict] = [
+        {"kind": "text", "text": text, "media_ref": None, "offset": off}
+        for _page, off, text in lines
+    ]
+    for ref, off in media or []:
+        spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": off})
+    spans.sort(key=lambda s: s["offset"])
+    return spans
+
+
+def extract_spans(
+    content: bytes | None,
+    media: list[tuple[str, int]] | None,
+    n_pages: int,
+) -> list[tuple[str, str | None, str | None, int]]:
+    """Fused tokenize → layout → boilerplate-strip → assemble for one
+    document (called batched from the pandas_udf)."""
+    runs = tokenize_content(content) if content else []
+    lines = layout_lines(runs)
+    lines = strip_boilerplate(lines, n_pages)
+    return assemble_spans(lines, media)
+
+
+@F.pandas_udf(T.ArrayType(SPAN))
+def extract_spans_udf(content: pd.Series, media: pd.Series, n_pages: pd.Series) -> pd.Series:
+    out = []
+    for c, m, p in zip(content, media, n_pages):
+        mm = [(item["media_ref"], item["offset"]) for item in m] if m is not None else []
+        out.append(extract_spans(None if c is None else bytes(c), mm, int(p)))
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# Oversized-document shard path
+# ---------------------------------------------------------------------------
+
+
+def shard_content(content: bytes, pages_per_shard: int) -> list[tuple[int, bytes, int, int]]:
+    """Split a content stream at %%PAGE markers into shards of
+    ``pages_per_shard`` pages. Returns (shard_idx, chunk, base_offset,
+    base_page); base_offset restores global byte offsets, base_page
+    restores global page numbers."""
+    marker = b"%%PAGE"
+    positions: list[int] = []
+    pos = content.find(marker)
+    while pos != -1:
+        positions.append(pos)
+        pos = content.find(marker, pos + 1)
+    if not positions:
+        return [(0, content, 0, 0)]
+    shards: list[tuple[int, bytes, int, int]] = []
+    # preamble (%PDF header) goes with shard 0
+    for s_idx, start_page in enumerate(range(0, len(positions), pages_per_shard)):
+        start = positions[start_page] if s_idx > 0 else 0
+        end_page = start_page + pages_per_shard
+        end = positions[end_page] if end_page < len(positions) else len(content)
+        shards.append((s_idx, content[start:end], start, start_page))
+    return shards
+
+
+@F.pandas_udf(T.ArrayType(SHARD))
+def shard_content_udf(content: pd.Series, pages_per_shard: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [
+                {"shard_idx": i, "chunk": chunk, "base_offset": boff, "base_page": bpage}
+                for i, chunk, boff, bpage in shard_content(bytes(c), int(p))
+            ]
+            if c is not None
+            else []
+            for c, p in zip(content, pages_per_shard)
+        ]
+    )
+
+
+@F.pandas_udf(T.ArrayType(LINE))
+def shard_lines_udf(chunk: pd.Series, base_offset: pd.Series, base_page: pd.Series) -> pd.Series:
+    """Tokenize + layout one shard; offsets/pages re-based to the whole
+    document. Boilerplate stripping happens later at merge (it needs the
+    whole document's pages)."""
+    out = []
+    for c, boff, bpage in zip(chunk, base_offset, base_page):
+        runs = tokenize_content(bytes(c)) if c is not None else []
+        # page numbers inside a chunk restart at the chunk's first
+        # %%PAGE n marker value, which is the GLOBAL page number (the
+        # corpus writes global numbers), so no rebase needed for pages;
+        # offsets are chunk-relative and need the base added.
+        lines = layout_lines(runs)
+        out.append(
+            [{"page": page, "off": off + int(boff), "text": text} for page, off, text in lines]
+        )
+    return pd.Series(out)
+
+
+def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas per doc_id: merge shard line-lists, strip
+    boilerplate over the full document, interleave media, emit spans."""
+    doc_id = pdf["doc_id"].iloc[0]
+    n_pages = int(pdf["n_pages"].iloc[0])
+    all_lines: list[tuple[int, int, str]] = []
+    for lines in pdf["lines"]:
+        if lines is not None:
+            all_lines.extend((int(l["page"]), int(l["off"]), l["text"]) for l in lines)
+    all_lines.sort(key=lambda l: (l[0], l[1]))
+    stripped = strip_boilerplate(all_lines, n_pages)
+    media_raw = pdf["media"].iloc[0]
+    media = [(m["media_ref"], int(m["offset"])) for m in media_raw] if media_raw is not None else []
+    spans = assemble_spans(stripped, media)
+    return pd.DataFrame({"doc_id": [doc_id], "spans": [spans]})

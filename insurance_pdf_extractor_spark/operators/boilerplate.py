@@ -1,0 +1,36 @@
+"""Stage 3 — boilerplate / header-footer stripping via repeated-line
+frequency per document (north_star requirement; no reference analog —
+the reference ships whole-page text to the LLM).
+
+A line is boilerplate when its *normalized* form (lowercase, digits
+folded to '0', whitespace collapsed) appears on at least
+``BOILERPLATE_MIN_FRAC`` of the document's pages, for documents with at
+least ``BOILERPLATE_MIN_PAGES`` pages. Digit folding makes
+'Page 1 of 3' / 'Page 2 of 3' count as the same repeated footer.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..constants import BOILERPLATE_MIN_FRAC, BOILERPLATE_MIN_PAGES
+
+_WS_RE = re.compile(r"\s+")
+_DIGIT_RE = re.compile(r"\d")
+
+
+def norm_key(line: str) -> str:
+    return _WS_RE.sub(" ", _DIGIT_RE.sub("0", line.lower())).strip()
+
+
+def strip_boilerplate(
+    lines: list[tuple[int, int, str]], n_pages: int
+) -> list[tuple[int, int, str]]:
+    """Drop repeated header/footer lines from (page, offset, text) lines."""
+    if n_pages < BOILERPLATE_MIN_PAGES:
+        return list(lines)
+    pages_with: dict[str, set[int]] = {}
+    for page, _off, text in lines:
+        pages_with.setdefault(norm_key(text), set()).add(page)
+    drop = {k for k, pgs in pages_with.items() if len(pgs) / n_pages >= BOILERPLATE_MIN_FRAC}
+    return [ln for ln in lines if norm_key(ln[2]) not in drop]

@@ -1,0 +1,157 @@
+"""Stage 5 — deterministic 18-field record extraction + validation from
+the reassembled span text.
+
+Replaces the reference's Gemini call with a deterministic scrape of the
+``Label: value`` lines (the same layout its own mock tests assert on,
+tests/utils/mock_generators.py:18-39), then applies the pydantic model's
+validation semantics (app/models/extraction.py:48-161,183-233) as pure
+column expressions:
+
+- any validation error poisons the whole record to the
+  VALIDATION_FAILED fallback model (extraction.py:222-228) and sets
+  status='partial_success' (app/services/pdf_processor.py:113);
+- currency/limit validators are passthrough (their negative-limit raise
+  is swallowed by their own except, extraction.py:90-101);
+- the date-relationship check appends a warning
+  (extraction.py:195-206).
+
+Everything here is Catalyst-codegen'd column expressions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import EMPTY_VALUE, FIELD_NAMES, VALIDATION_FAILED
+from ..corpus import FIELD_LABELS
+from ..functions.normalizers import (
+    DATE_RE,
+    clean_text_expr,
+    normalize_boolean_model_expr,
+    normalize_commission_expr,
+    normalize_date_expr,
+)
+
+DOC_TEXT = "_doc_text"
+
+
+def doc_text_expr(spans: Column) -> Column:
+    """Reading text of a document: newline-joined text spans in span
+    order (media skipped)."""
+    texts = F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("text")), lambda s: s["text"]
+    )
+    return F.array_join(texts, "\n")
+
+
+def scrape_raw_fields(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Scrape 'Label: value' lines into raw field columns (null when the
+    label is absent), cleaned per F9 (clean_text)."""
+    df = df.withColumn(DOC_TEXT, doc_text_expr(F.col(spans_col)))
+    for label, fname in FIELD_LABELS:
+        pat = rf"(?m)^{label}:[ \t]*(.*)$"
+        raw = F.regexp_extract(F.col(DOC_TEXT), pat, 1)
+        present = F.col(DOC_TEXT).rlike(rf"(?m)^{label}:")
+        df = df.withColumn(f"_raw_{fname}", F.when(present, clean_text_expr(raw)))
+    return df
+
+
+def validate_and_normalize(df: DataFrame) -> DataFrame:
+    """Apply the model validators; emit the 18 final field columns plus
+    validation_errors, warnings, status."""
+    r = {f: F.col(f"_raw_{f}") for f in FIELD_NAMES}
+
+    errors = []
+
+    def err_when(cond: Column, msg: str) -> None:
+        errors.append(F.when(cond, F.lit(msg)))
+
+    # quote_number required nonempty (extraction.py:60-65 + pydantic
+    # required field)
+    qn = r["quote_number"]
+    err_when(qn.isNull() | (F.trim(qn) == ""), "quote_number: Quote number cannot be empty")
+
+    # dates: normalize via the model cascade; still-bad format => error
+    # (extraction.py:48-58)
+    norm_dates = {}
+    for f in ("policy_effective_date", "policy_expiration_date"):
+        v = r[f]
+        norm = F.when(
+            v.isNull() | (v == EMPTY_VALUE) | v.rlike(DATE_RE), v
+        ).otherwise(normalize_date_expr(v))
+        norm_dates[f] = norm
+        err_when(
+            norm.isNotNull() & (norm != EMPTY_VALUE) & ~norm.rlike(DATE_RE),
+            f"{f}: Date must be in MM/DD/YYYY format",
+        )
+
+    # required name/address (extraction.py:67-72)
+    for f in ("named_insured_name", "named_insured_address"):
+        v = r[f]
+        err_when(v.isNull() | (F.trim(v) == ""), f"{f}: This field is required and cannot be empty")
+
+    validation_errors = F.filter(F.array(*errors), lambda e: e.isNotNull())
+    has_error = F.size(validation_errors) > 0
+
+    # normalized (pre-poison) values
+    norm: dict[str, Column] = {}
+    for f in FIELD_NAMES:
+        v = r[f]
+        if f in norm_dates:
+            out = norm_dates[f]
+        elif f in ("tria", "waiver_of_subrogation_type"):
+            out = normalize_boolean_model_expr(v)
+        elif f == "commission":
+            out = normalize_commission_expr(v)
+        elif f in ("quote_number", "named_insured_name", "named_insured_address"):
+            out = F.trim(v)
+        else:
+            out = v
+        if f == "issuing_carrier":
+            norm[f] = F.when(v.isNull() | (v == EMPTY_VALUE), F.array().cast("array<string>")).otherwise(
+                F.array(v)
+            )
+        else:
+            norm[f] = F.coalesce(out, F.lit(EMPTY_VALUE))
+
+    # poisoned fallback record (extraction.py:222-228)
+    poisoned = {
+        f: F.lit(VALIDATION_FAILED)
+        if f in ("quote_number", "named_insured_name", "named_insured_address")
+        else (F.array().cast("array<string>") if f == "issuing_carrier" else F.lit(EMPTY_VALUE))
+        for f in FIELD_NAMES
+    }
+
+    for f in FIELD_NAMES:
+        df = df.withColumn(f, F.when(has_error, poisoned[f]).otherwise(norm[f]))
+
+    # date-relationship warning (extraction.py:195-206) — only on valid
+    # records
+    eff, exp = F.col("policy_effective_date"), F.col("policy_expiration_date")
+    both = (eff != EMPTY_VALUE) & (exp != EMPTY_VALUE)
+    d_eff, d_exp = F.to_date(eff, "MM/dd/yyyy"), F.to_date(exp, "MM/dd/yyyy")
+    warning = F.when(
+        ~has_error & both & d_eff.isNotNull() & d_exp.isNotNull() & (d_eff >= d_exp),
+        F.lit("Policy effective date should be before expiration date"),
+    ).when(
+        ~has_error & both & (d_eff.isNull() | d_exp.isNull()),
+        F.lit("Could not validate date relationship due to invalid date format"),
+    )
+    warnings = F.filter(F.array(warning), lambda w: w.isNotNull())
+
+    df = df.withColumn("validation_errors", validation_errors)
+    df = df.withColumn("warnings", warnings)
+    # status (app/services/pdf_processor.py:113)
+    df = df.withColumn("status", F.when(has_error, "partial_success").otherwise(F.lit("success")))
+    return df
+
+
+def extract_fields(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """documents(doc_id, spans) → records with the 18 fields +
+    validation_errors + warnings + status (+ _doc_text kept for the
+    confidence stage)."""
+    df = scrape_raw_fields(documents, spans_col)
+    df = validate_and_normalize(df)
+    drop = [c for c in df.columns if c.startswith("_raw_")]
+    return df.drop(*drop)

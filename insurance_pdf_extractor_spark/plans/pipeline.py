@@ -1,0 +1,150 @@
+"""End-to-end extraction plan.
+
+Shape (scale rationale):
+
+    scan(documents_raw)
+      → validity filters (P1-P3) with a rejects side-output (lineage,
+        never silently dropped)
+      → explicit repartition on hash(doc_id) (north rule: salted spread
+        of documents across partitions)
+      → normal docs: ONE fused Arrow kernel (tokenize→layout→
+        boilerplate→assemble). Each document is a single row, so this
+        path is shuffle-free and embarrassingly parallel — at 10^12
+        docs the plan is a pure map, bounded only by scan + CPU.
+      → oversized docs (size > shard threshold): page-range sharding →
+        per-shard kernel → groupBy(doc_id) merge. Only the skewed tail
+        pays a shuffle, and it is a shuffle of *small line lists*, not
+        raw bytes-heavy content.
+      → union → field extraction/validation (pure Catalyst expressions)
+      → results + per-partition checkpoint/lineage writes.
+
+Reference lifecycle being re-expressed: POST /api/v1/extract
+(app/api/routes/extraction.py:79-199 → app/services/pdf_processor.py:29-169).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    DEFAULT_MODEL,
+    EMPTY_VALUE,
+    MAX_FILE_SIZE_BYTES,
+    SHARD_PAGES,
+    SHARD_SIZE_BYTES,
+)
+from ..operators.assemble import (
+    extract_spans_udf,
+    merge_sharded_lines,
+    shard_content_udf,
+    shard_lines_udf,
+)
+from ..operators.fields import DOC_TEXT, extract_fields
+from ..schema import DOCUMENTS
+from ..functions.confidence import confidence_map_expr, estimated_cost_expr, token_count_expr
+
+PDF_MAGIC = bytes(b"%PDF-")
+
+
+def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) -> DataFrame:
+    """P1-P3: size cap (app/services/pdf_processor.py:355-360), magic
+    bytes (app/utils/file_helpers.py:15-50), zero pages
+    (app/services/pdf_processor.py:366-368)."""
+    return raw.withColumn(
+        "reject_reason",
+        F.when(F.col("size_bytes") > max_size_bytes, "size_exceeds_limit")
+        .when(
+            F.col("content").isNull() | (F.substring(F.col("content").cast("binary"), 1, 5) != F.lit(PDF_MAGIC)),
+            "invalid_pdf",
+        )
+        .when(F.col("n_pages") <= 0, "no_pages"),
+    )
+
+
+def extract_documents(
+    raw: DataFrame,
+    max_size_bytes: int = MAX_FILE_SIZE_BYTES,
+    shard_size_bytes: int = SHARD_SIZE_BYTES,
+    shard_pages: int = SHARD_PAGES,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """documents_raw → (documents(doc_id, spans), rejects).
+
+    ``partitions``: explicit salt/repartition width before the kernel
+    stage (defaults to spark.sql.shuffle.partitions).
+    """
+    spark = raw.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    classified = classify_rejects(raw, max_size_bytes)
+    rejects = classified.filter(F.col("reject_reason").isNotNull()).select(
+        "doc_id", "reject_reason", "size_bytes", F.lit("error").alias("status")
+    )
+    ok = classified.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+
+    # explicit salt: uniform hash spread of docs over partitions so a
+    # run of adjacent oversized policies cannot pile into one task
+    ok = ok.repartition(n_part, F.xxhash64("doc_id"))
+
+    small = ok.filter(F.col("size_bytes") <= shard_size_bytes)
+    small_docs = small.select(
+        "doc_id", extract_spans_udf("content", "media", "n_pages").alias("spans")
+    )
+
+    big = ok.filter(F.col("size_bytes") > shard_size_bytes)
+    shards = big.select(
+        "doc_id",
+        "n_pages",
+        "media",
+        F.explode(shard_content_udf("content", F.lit(shard_pages))).alias("shard"),
+    )
+    shard_lines = shards.select(
+        "doc_id",
+        "n_pages",
+        "media",
+        shard_lines_udf("shard.chunk", "shard.base_offset", "shard.base_page").alias("lines"),
+    )
+    big_docs = shard_lines.groupBy("doc_id").applyInPandas(merge_sharded_lines, schema=DOCUMENTS)
+
+    return small_docs.unionByName(big_docs), rejects
+
+
+def build_results(
+    documents: DataFrame,
+    raw: DataFrame | None = None,
+    model_used: str = DEFAULT_MODEL,
+    prompt_version: str = "v1",
+) -> DataFrame:
+    """documents(doc_id, spans) → results rows mirroring the reference's
+    extractions table (app/services/storage.py:29-54): 18-field record,
+    validation errors/warnings, status, confidence scores, deterministic
+    token/cost metrics."""
+    rec = extract_fields(documents)
+    rec = rec.withColumn("confidence_scores", confidence_map_expr(F.col(DOC_TEXT)))
+    rec = rec.withColumn("input_tokens", token_count_expr(F.col(DOC_TEXT)))
+    out_tok = (F.length(F.to_json(F.struct(*[F.col(f) for f in _field_cols(rec)]))) / 4).cast("long")
+    rec = rec.withColumn("output_tokens", out_tok)
+    rec = rec.withColumn("total_tokens", F.col("input_tokens") + F.col("output_tokens"))
+    rec = rec.withColumn("model_used", F.lit(model_used))
+    rec = rec.withColumn("prompt_version", F.lit(prompt_version))
+    rec = rec.withColumn(
+        "estimated_cost", estimated_cost_expr("input_tokens", "output_tokens", model_used)
+    )
+    # A9: count of extracted (non-sentinel) fields
+    non_empty = F.size(
+        F.filter(
+            F.array(*[F.col(f).cast("string") for f in _field_cols(rec)]),
+            lambda v: v.isNotNull() & (v != EMPTY_VALUE) & (v != "[]"),
+        )
+    )
+    rec = rec.withColumn("extracted_fields", non_empty)
+    if raw is not None:
+        rec = rec.join(raw.select("doc_id", F.col("size_bytes").alias("file_size")), "doc_id", "left")
+    return rec.drop(DOC_TEXT)
+
+
+def _field_cols(df: DataFrame) -> list[str]:
+    from ..constants import FIELD_NAMES
+
+    return [f for f in FIELD_NAMES if f in df.columns]

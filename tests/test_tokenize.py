@@ -1,0 +1,113 @@
+"""Unit tests for the pure-Python content-stream parser and layout/
+boilerplate stages (no Spark)."""
+
+from __future__ import annotations
+
+from insurance_pdf_extractor_spark.operators.assemble import assemble_spans, extract_spans, shard_content
+from insurance_pdf_extractor_spark.operators.boilerplate import strip_boilerplate
+from insurance_pdf_extractor_spark.operators.layout import layout_lines
+from insurance_pdf_extractor_spark.operators.tokenize import count_pages, tokenize_content
+
+
+def test_tokenize_tj_tm():
+    content = b"%PDF-1.4\n%%PAGE 0\nBT\n/F1 12 Tf\n1 0 0 1 100.0 750.0 Tm\n(Hello) Tj\nET\n"
+    runs = tokenize_content(content)
+    assert len(runs) == 1
+    page, x, y, off, text = runs[0]
+    assert (page, x, y, text) == (0, 100.0, 750.0, "Hello")
+    assert content[off : off + 1] == b"("
+
+
+def test_tokenize_td_relative():
+    content = b"%%PAGE 0\nBT\n100 700 Td\n(A) Tj\n10 -20 Td\n(B) Tj\nET\n"
+    runs = tokenize_content(content)
+    assert [(r[1], r[2], r[4]) for r in runs] == [(100.0, 700.0, "A"), (110.0, 680.0, "B")]
+
+
+def test_tokenize_tj_array_and_escapes():
+    content = rb"%%PAGE 0\nBT\n1 0 0 1 50 100 Tm\n[(a\(b) -120 (c\\d)] TJ\nET\n".replace(
+        rb"\n", b"\n"
+    )
+    runs = tokenize_content(content)
+    assert len(runs) == 1
+    assert runs[0][4] == "a(bc\\d"
+    assert content[runs[0][3] : runs[0][3] + 1] == b"["
+
+
+def test_tokenize_leading_tstar_and_quote():
+    content = b"%%PAGE 0\nBT\n100 700 Td\n20 TL\n(A) Tj\nT*\n(B) Tj\n(C) '\nET\n"
+    runs = tokenize_content(content)
+    assert [(r[2], r[4]) for r in runs] == [(700.0, "A"), (680.0, "B"), (660.0, "C")]
+
+
+def test_tokenize_multipage():
+    content = b"%%PAGE 0\nBT\n10 10 Td\n(p0) Tj\nET\n%%PAGE 1\nBT\n10 10 Td\n(p1) Tj\nET\n"
+    runs = tokenize_content(content)
+    assert [(r[0], r[4]) for r in runs] == [(0, "p0"), (1, "p1")]
+    assert count_pages(content) == 2
+
+
+def test_layout_reading_order():
+    # two lines, runs emitted out of order; same-line runs split at x
+    runs = [
+        (0, 150.0, 730.0, 40, "world"),
+        (0, 100.0, 750.0, 10, "Hel"),
+        (0, 118.0, 750.0, 70, "lo"),
+        (0, 100.0, 730.0, 55, "Big "),
+    ]
+    lines = layout_lines(runs)
+    assert [(l[2]) for l in lines] == ["Hello", "Big world"]
+    assert lines[0][1] == 10  # min offset of the line's runs
+    assert lines[1][1] == 40
+
+
+def test_boilerplate_strip():
+    lines = [
+        (0, 1, "HEADER CO"),
+        (0, 2, "Quote Number: X-1"),
+        (0, 3, "Page 1 of 2"),
+        (1, 4, "HEADER CO"),
+        (1, 5, "body text"),
+        (1, 6, "Page 2 of 2"),
+    ]
+    out = strip_boilerplate(lines, 2)
+    assert [l[2] for l in out] == ["Quote Number: X-1", "body text"]
+    # one-page docs are never stripped
+    assert strip_boilerplate(lines[:3], 1) == lines[:3]
+
+
+def test_assemble_interleaves_media_by_offset():
+    spans = assemble_spans([(0, 10, "a"), (0, 50, "b")], [("m1", 30), ("m0", 5)])
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == [
+        ("media", None, "m0"),
+        ("text", "a", None),
+        ("media", None, "m1"),
+        ("text", "b", None),
+    ]
+    assert [s["offset"] for s in spans] == [5, 10, 30, 50]
+
+
+def test_shard_content_roundtrip():
+    pages = b"".join(
+        b"%%%%PAGE %d\nBT\n100 700 Td\n(line%d) Tj\nET\n" % (i, i) for i in range(5)
+    )
+    content = b"%PDF-1.4\n" + pages
+    shards = shard_content(content, 2)
+    assert len(shards) == 3
+    # re-based tokenization across shards == whole-document tokenization
+    whole = tokenize_content(content)
+    merged = []
+    for _idx, chunk, base_off, _base_page in shards:
+        for page, x, y, off, text in tokenize_content(chunk):
+            merged.append((page, x, y, off + base_off, text))
+    assert sorted(merged, key=lambda r: r[3]) == sorted(whole, key=lambda r: r[3])
+
+
+def test_extract_spans_fused():
+    content = (
+        b"%PDF-1.4\n%%PAGE 0\nBT\n100 750 Td\n(HEAD) Tj\nET\nBT\n100 730 Td\n(Quote Number: Q-1) Tj\nET\n"
+        b"%%PAGE 1\nBT\n100 750 Td\n(HEAD) Tj\nET\nBT\n100 730 Td\n(tail) Tj\nET\n"
+    )
+    spans = extract_spans(content, [("img", 12)], 2)
+    kinds_texts = [(s["kind"], s["text"] or s["media_ref"]) for s in spans]
+    assert kinds_texts == [("media", "img"), ("text", "Quote Number: Q-1"), ("text", "tail")]
