@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``array<float>``).
+
+- ``brute_force_topk``: exact baseline — broadcast the (small) query
+  set, JVM-side dot products via zip_with/aggregate, per-query top-k by
+  window. Linear in candidates; the right choice when queries are few.
+- ``lsh_topk``: scale path — random-hyperplane LSH: deterministic
+  hyperplanes (seeded numpy, broadcast as literals), bucket on the sign
+  signature, rerank only same-bucket candidates. At 10^12 rows the
+  bucket join replaces the full scan per query; recall is tuned by
+  n_planes (fewer planes → bigger buckets → higher recall/cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries: (query_id, embedding)."""
+    q = F.broadcast(queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec")))
+    joined = emb.alias("c").crossJoin(q).filter(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).round(6).tolist()
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature against fixed hyperplanes → one long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot_expr(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's LSH bucket; exact
+    cosine rerank within the bucket."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    emb_b = emb.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
+    q_b = F.broadcast(
+        queries.select(
+            "query_id",
+            F.col(vec_col).alias("q_vec"),
+            lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    joined = emb_b.join(q_b, "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates via shared LSH bucket, exact
+    verify at ``threshold``."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("a"), b.alias("b")
+    cand = l.join(r, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

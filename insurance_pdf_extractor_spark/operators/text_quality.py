@@ -1,0 +1,73 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (JVM-side, codegen'd); DuckDB-equivalent
+SQL exists for each (see queries.py oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "por", "para"],
+}
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    via a GPT-2-style pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), 0))
+
+
+def _stop_hits_expr(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0))
+
+
+def stopword_ratio_expr(col: Column, lang: str = "en") -> Column:
+    hits = _stop_hits_expr(col, STOPWORDS[lang])
+    return hits / F.greatest(token_count_expr(col), F.lit(1))
+
+
+def punct_count_expr(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[.,;:!?]"), 0))
+
+
+def quality_score_expr(text: Column, n_chars: Column | None = None) -> Column:
+    """Heuristic quality in [0,1]: length saturation + stopword signal +
+    sane punctuation density, rounded to 4."""
+    n = n_chars if n_chars is not None else F.length(text)
+    len_part = F.least(n / F.lit(500.0), F.lit(1.0))
+    stop_part = F.least(stopword_ratio_expr(text) * 5, F.lit(1.0))
+    punct_ratio = punct_count_expr(text) / F.greatest(token_count_expr(text), F.lit(1))
+    punct_part = F.when(punct_ratio <= 0.3, 1.0).otherwise(0.5)
+    return F.round(0.4 * len_part + 0.4 * stop_part + 0.2 * punct_part, 4)
+
+
+def lang_guess_expr(col: Column) -> Column:
+    """n-gram/stopword heuristic language ID over {en,de,fr,es}: argmax
+    of per-language stopword hits, 'en' on ties (deterministic
+    tie-break order en>de>fr>es)."""
+    hits = {lang: _stop_hits_expr(col, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(hits["en"] == best, "en")
+    for lang in ("de", "fr", "es"):
+        expr = expr.when(hits[lang] == best, lang)
+    return expr.otherwise("unknown")
+
+
+def doc_fingerprint_expr(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of casefolded,
+    whitespace-collapsed text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))

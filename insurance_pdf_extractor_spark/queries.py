@@ -1,0 +1,652 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 demonstrated over the shared testdata tables, each with a
+DuckDB-equivalent oracle SQL string (or None for non-SQL-expressible
+ops → rows-only check).
+
+Column aliases match between the Spark query and the oracle SQL — the
+driver sorts columns by name and value-hashes, so names and rounding
+must agree on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .constants import US_STATES
+from .functions.normalizers import clean_text_expr, normalize_date_expr
+from .operators import dedup, similarity, text_quality as tq
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, oracle_sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle_sql is not None:
+            ORACLE[name] = oracle_sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1 — global multi-agg (app/services/storage.py:442-458)
+# ---------------------------------------------------------------------------
+@register(
+    "overall_stats",
+    """
+    SELECT count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders WHERE o_totalprice IS NOT NULL
+    """,
+)
+def q_overall_stats(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — group-by multi-agg ordered by cost (app/services/storage.py:461-479)
+# ---------------------------------------------------------------------------
+@register(
+    "stats_by_group",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_stats_by_group(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — daily trends over a date window (app/services/storage.py:482-497)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_trends",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           count(*) AS n_events,
+           round(sum(value), 4) AS daily_value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_daily_trends(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").filter(F.col("ts") >= "2024-01-08")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("daily_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — conditional agg / success rates (app/services/storage.py:552-570)
+# ---------------------------------------------------------------------------
+@register(
+    "field_success_rates",
+    """
+    SELECT lang,
+           count(*) AS total_occurrences,
+           sum(CASE WHEN text IS NOT NULL AND n_chars > 250 THEN 1 ELSE 0 END) AS successful,
+           round(sum(CASE WHEN text IS NOT NULL AND n_chars > 250 THEN 1 ELSE 0 END) * 100.0
+                 / count(*), 2) AS success_rate
+    FROM documents GROUP BY lang
+    """,
+)
+def q_field_success_rates(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    ok = F.when(F.col("text").isNotNull() & (F.col("n_chars") > 250), 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("total_occurrences"),
+        F.sum(ok).alias("successful"),
+        F.round(F.sum(ok) * 100.0 / F.count("*"), 2).alias("success_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — status breakdown with pct of total (app/services/storage.py:533-549)
+# ---------------------------------------------------------------------------
+@register(
+    "status_breakdown",
+    """
+    SELECT o_orderstatus AS status, count(*) AS n,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS percentage
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_status_breakdown(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders").groupBy(F.col("o_orderstatus").alias("status")).count()
+    total = F.sum("count").over(Window.partitionBy())
+    return o.select(
+        "status",
+        F.col("count").alias("n"),
+        F.round(F.col("count") * 100.0 / total, 2).alias("percentage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — recent-N with deterministic total order (app/services/storage.py:368-386)
+# ---------------------------------------------------------------------------
+@register(
+    "recent_events",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+)
+def q_recent_events(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — top-10 most expensive (app/services/storage.py:499-512)
+# ---------------------------------------------------------------------------
+@register(
+    "top_expensive",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_top_expensive(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — dynamic search predicates (app/services/storage.py:388-433)
+# ---------------------------------------------------------------------------
+@register(
+    "search_filters",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
+    """,
+)
+def q_search_filters(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_orderpriority").contains("URGENT"))
+        .filter(F.col("o_orderdate").between("1995-01-01", "1997-12-31"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — PK→FK broadcast join (app/services/storage.py:308-344)
+# ---------------------------------------------------------------------------
+@register(
+    "pk_fk_join",
+    """
+    SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_pk_fk_join(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — left-anti join (app/services/storage.py:610-629; resume)
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_no_urgent_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    o = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# semi-join variant (EXISTS)
+@register(
+    "semi_join_active_suppliers",
+    """
+    SELECT s_nationkey, count(*) AS n_active
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    GROUP BY s_nationkey
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    s = _load(spark, sf_dir, "supplier")
+    li = _load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return s.join(li, "s_suppkey", "left_semi").groupBy("s_nationkey").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — 7-day moving average + trend classification
+# (app/api/routes/analytics.py:129-148,362-378)
+# ---------------------------------------------------------------------------
+@register(
+    "trend_window",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS date, round(sum(value), 4) AS daily_value
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT date, daily_value,
+           round(avg(daily_value) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM daily
+    """,
+)
+def q_trend_window(spark, sf_dir):
+    daily = (
+        _load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select("date", "daily_value", F.round(F.avg("daily_value").over(w), 4).alias("ma7"))
+
+
+# ---------------------------------------------------------------------------
+# S7 — unpivot wide→narrow (app/services/storage.py:278-298)
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_fields",
+    """
+    SELECT doc_id, 'lang' AS field_name, lang AS field_value FROM documents
+    UNION ALL
+    SELECT doc_id, 'source' AS field_name, source AS field_value FROM documents
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.selectExpr("doc_id", "stack(2, 'lang', lang, 'source', source) AS (field_name, field_value)")
+
+
+# ---------------------------------------------------------------------------
+# retention cutoff (app/services/storage.py:601-639)
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cutoff",
+    """
+    SELECT count(*) AS n_expired FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def q_retention(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-10")
+        .agg(F.count("*").alias("n_expired"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15 — cost model arithmetic (app/services/pdf_processor.py:249-299)
+# ---------------------------------------------------------------------------
+@register(
+    "cost_model",
+    """
+    SELECT l_returnflag,
+           round(sum(round(l_extendedprice / 1000 * 0.000075 + l_quantity / 1000 * 0.0003, 6)), 4)
+             AS total_cost
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_cost_model(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    per_row = F.round(
+        F.col("l_extendedprice") / 1000 * 0.000075 + F.col("l_quantity") / 1000 * 0.0003, 6
+    )
+    return li.groupBy("l_returnflag").agg(F.round(F.sum(per_row), 4).alias("total_cost"))
+
+
+# ---------------------------------------------------------------------------
+# F3 — date normalization cascade (app/utils/validators.py:52-89)
+# ---------------------------------------------------------------------------
+@register(
+    "date_normalize",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS norm_date
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_date_normalize(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select("o_orderkey", normalize_date_expr(iso).alias("norm_date"))
+
+
+# ---------------------------------------------------------------------------
+# F9 — text cleanup (app/utils/validators.py:92-112)
+# ---------------------------------------------------------------------------
+@register(
+    "clean_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             regexp_replace(trim(text), '\\s+', ' ', 'g'), '[·•]', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q_clean_text(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_text_expr(F.col("text")).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# F11 — state-code extraction (app/utils/validators.py:162-234)
+# ---------------------------------------------------------------------------
+@register(
+    "state_codes",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(upper(text), '\\b([A-Z]{2})\\b', 1),
+               x -> x IN (__STATES__))) AS n_state_codes
+    FROM documents
+    """.replace("__STATES__", ",".join(f"'{s}'" for s in US_STATES)),
+)
+def q_state_codes(spark, sf_dir):
+    from .functions.normalizers import extract_state_codes_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(extract_state_codes_expr(F.col("text"))).alias("n_state_codes"))
+
+
+# ---------------------------------------------------------------------------
+# token counting (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tq.token_count_expr(F.col("text")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
+            "n_bpe_ish"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "quality_scores",
+    """
+    SELECT doc_id,
+           round(0.4 * least(n_chars / 500.0, 1.0)
+               + 0.4 * least(5.0 * len(regexp_extract_all(lower(text),
+                     '\\b(the|a|of|to|and|in|is|on|for|with)\\b'))
+                   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 1.0)
+               + 0.2 * (CASE WHEN len(regexp_extract_all(text, '[.,;:!?]'))
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) <= 0.3
+                     THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (training-data ops)
+# ---------------------------------------------------------------------------
+_LANG_SQL_HITS = {
+    lang: "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b'))"
+    for lang, words in tq.STOPWORDS.items()
+}
+
+@register(
+    "lang_guess",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_LANG_SQL_HITS['en']} AS h_en,
+             {_LANG_SQL_HITS['de']} AS h_de,
+             {_LANG_SQL_HITS['fr']} AS h_fr,
+             {_LANG_SQL_HITS['es']} AS h_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM h
+    """,
+)
+def q_lang_guess(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", tq.lang_guess_expr(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup via fingerprint hash-groupBy (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_df(_load(spark, sf_dir, "documents"))
+
+
+def exact_dedup_df(d: DataFrame) -> DataFrame:
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard between adjacent doc pairs (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_adjacent",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws)) * 1.0 /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.array_distinct(dedup.words_expr(F.col("text"))).alias("ws")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pair = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return pair.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter * 1.0 / union, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k ANN baseline (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+@register("minhash_lsh_pairs", None)
+def q_minhash_pairs(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    # documents are all-distinct random text; lower threshold surfaces
+    # the near-dup candidates the banding produces
+    return dedup.minhash_lsh_pairs(d, min_jaccard=0.2)
+
+
+@register("simhash_fingerprints", None)
+def q_simhash(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").limit(200)
+    return d.select("doc_id", dedup.simhash_expr(F.col("text")).alias("simhash"))
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(emb, queries, k=10, n_planes=6)
+
+
+@register("media_features", None)
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque media payloads →
+    mapInPandas feature extraction (deterministic fake decoder)."""
+    from .operators.multimodal import extract_media_features
+
+    d = _load(spark, sf_dir, "documents").limit(100)
+    assets = d.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(assets)
+
+
+@register("extract_pipeline_spans", None)
+def q_extract_pipeline(spark, sf_dir):
+    """Flagship span pipeline on a corpus deterministically derived from
+    the shared documents table: each row's text is rendered into a
+    content stream, then extracted back through the full engine."""
+    from .plans.pipeline import extract_documents
+    from .sources.render import render_documents_raw
+
+    d = _load(spark, sf_dir, "documents")
+    raw = render_documents_raw(d)
+    docs, _rejects = extract_documents(raw)
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("order", "span")
+    ).select("doc_id", "order", "span.kind", "span.text", "span.media_ref", "span.offset")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(Q)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

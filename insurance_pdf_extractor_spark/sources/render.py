@@ -1,0 +1,71 @@
+"""Render plain-text document rows into the engine's raw input shape
+(``doc_id, content, media, n_pages, size_bytes``).
+
+Used to drive the span pipeline from the shared testdata ``documents``
+table: rendering is a pure function of (doc_id, text), so the derived
+corpus is deterministic across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORDS_PER_LINE = 10
+LINES_PER_PAGE = 18
+
+RENDERED = T.StructType(
+    [
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+    ]
+)
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def render_text(doc_id: str, text: str) -> tuple[bytes, int]:
+    words = (text or "").split()
+    lines = [
+        " ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)
+    ] or [""]
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    out = [b"%PDF-1.4\n"]
+    for pg, pg_lines in enumerate(pages):
+        out.append(f"%%PAGE {pg}\n".encode())
+        out.append(f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode())
+        y = 740.0
+        for line in pg_lines:
+            out.append(f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode())
+            y -= 20.0
+        out.append(f"BT\n72.0 {y:.1f} Td\n(Page {pg + 1} of {len(pages)}) Tj\nET\n".encode())
+    return b"".join(out), len(pages)
+
+
+@F.pandas_udf(RENDERED)
+def render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    contents, n_pages = [], []
+    for d, t in zip(doc_id, text):
+        c, n = render_text(str(d), t)
+        contents.append(c)
+        n_pages.append(n)
+    return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
+def render_documents_raw(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → documents_raw for the pipeline."""
+    r = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        render_udf(F.col("doc_id").cast("string"), F.col("text")).alias("r"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.content").alias("content"),
+        F.expr("array()").cast("array<struct<media_ref:string,offset:int>>").alias("media"),
+        F.col("r.n_pages").alias("n_pages"),
+        F.length("r.content").cast("long").alias("size_bytes"),
+    )

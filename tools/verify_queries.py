@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate: run each
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf dir; compare row count, column names, and order-insensitive
+values.
+
+Usage: python tools/verify_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from insurance_pdf_extractor_spark.session import build_session
+
+    spark = build_session(app_name="verify", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:
+            failures.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"duckdb error: {ex}"))
+            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"row count {len(srows)} vs {len(drows)}"))
+            print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"cols {sorted(scols)} vs {sorted(dcols)}"))
+            print(f"FAIL {name}: cols {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        _, skey = frame_key(scols, [[r[c] for c in scols] for r in srows])
+        _, dkey = frame_key(dcols, drows)
+        if skey != dkey:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(skey, dkey)) if a != b)
+            failures.append((name, f"value mismatch at sorted row {diff[0]}"))
+            print(f"FAIL {name}: first diff at sorted row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows, values match")
+
+    print(f"\n{len(failures)} failures / {len(qs) if not only else len(only)} queries")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
