@@ -172,12 +172,14 @@ def simhash_near_dup_pairs(
         "id",
         "fp",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright("fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("ck"),
     ).select("id", "fp", "ck.chunk", "ck.chunk_val")

@@ -131,6 +131,17 @@ def build_results(
     rec = rec.withColumn(
         "estimated_cost", estimated_cost_expr("input_tokens", "output_tokens", model_used)
     )
+    # nested record mirroring the reference's extracted_data JSON blob
+    # (native struct instead of JSON text, app/services/storage.py:233-236)
+    rec = rec.withColumn("extracted_data", F.struct(*[F.col(f) for f in _field_cols(rec)]))
+    # failed field names derived from the structured error messages
+    # ("<field>: <message>"); cf. the reference's regex scrape F17
+    rec = rec.withColumn(
+        "failed_fields",
+        F.array_distinct(
+            F.transform(F.col("validation_errors"), lambda e: F.split(e, ":").getItem(0))
+        ),
+    )
     # A9: count of extracted (non-sentinel) fields
     non_empty = F.size(
         F.filter(

