@@ -1,0 +1,94 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+The flagship number is the end-to-end extraction pipeline
+(render -> tokenize -> layout -> boilerplate strip -> span assembly ->
+field extraction/validation) in documents/sec; the remaining entries
+are the analytics / dedup / similarity headliners from the query
+registry. Scaling-efficiency evidence (N vs 4N cores) lives in
+tools/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from insurance_pdf_extractor_spark import queries as Qmod
+from insurance_pdf_extractor_spark.session import build_session
+
+HEADLINE = [
+    "stats_by_group",          # A2: TPC-H Q1-style grouped multi-agg (600k rows @ sf0.1)
+    "pk_fk_join",              # J1: orders x customer x nation broadcast join + agg
+    "trend_window",            # A7: daily agg + 7-day moving-average window
+    "search_filters",          # P4+O1: pushed-down predicates + top-k
+    "dedup_exact",             # hash-groupBy exact dedup over documents
+    "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
+    "token_counts",            # tokenization stats over documents
+    "quality_scores",          # quality scoring over documents
+    "cosine_topk",             # brute-force cosine top-k ANN baseline
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="bench")
+
+    timings: dict[str, float] = {}
+    registry = Qmod.queries()
+
+    # flagship: full extraction pipeline + results build, timed together
+    from insurance_pdf_extractor_spark.plans.pipeline import build_results, extract_documents
+    from insurance_pdf_extractor_spark.sources.render import render_documents_raw
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_tbl.count()
+    # warm the JVM/Python workers once so bench numbers are not
+    # dominated by first-job executor startup
+    _run(docs_tbl.limit(32))
+
+    t0 = time.perf_counter()
+    raw = render_documents_raw(docs_tbl)
+    extracted, rejects = extract_documents(raw)
+    results = build_results(extracted, raw=raw)
+    _run(results)
+    _run(rejects)
+    extract_sec = time.perf_counter() - t0
+    timings["extract_results_e2e"] = round(extract_sec, 3)
+
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query suite wall time (extraction e2e + analytics/dedup/similarity)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,9 +67,10 @@ def test_shingles_and_signature_shapes(spark):
     assert sh[0]["s"] == ["a b c", "b c d", "c d e"]
     assert sh[1]["s"] == []  # shorter than k
     sig = df.select(
-        dedup.minhash_signature_expr(dedup.shingles_expr(F.col("text"), 3), 8).alias("g")
-    ).collect()
+        dedup.hashed_shingles_expr(dedup.shingles_expr(F.col("text"), 3)).alias("h")
+    ).select(dedup.minhash_signature_expr(F.col("h"), 8).alias("g")).collect()
     assert len(sig[0]["g"]) == 8
+    assert len(set(sig[0]["g"])) > 1  # distinct permutations produce distinct minima
 
 
 @pytest.fixture(scope="module")
