@@ -147,7 +147,8 @@ def shard_lines_udf(chunk: pd.Series, base_offset: pd.Series, base_page: pd.Seri
 
 def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas per doc_id: merge shard line-lists, strip
-    boilerplate over the full document, interleave media, emit spans."""
+    boilerplate over the full document, interleave media, emit spans
+    (+ carried size_bytes, DOCUMENTS_SIZED schema)."""
     doc_id = pdf["doc_id"].iloc[0]
     n_pages = int(pdf["n_pages"].iloc[0])
     all_lines: list[tuple[int, int, str]] = []
@@ -159,4 +160,5 @@ def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
     media_raw = pdf["media"].iloc[0]
     media = [(m["media_ref"], int(m["offset"])) for m in media_raw] if media_raw is not None else []
     spans = assemble_spans(stripped, media)
-    return pd.DataFrame({"doc_id": [doc_id], "spans": [spans]})
+    size = int(pdf["size_bytes"].iloc[0]) if "size_bytes" in pdf.columns else None
+    return pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "size_bytes": [size]})

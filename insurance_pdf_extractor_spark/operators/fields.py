@@ -47,14 +47,21 @@ def doc_text_expr(spans: Column) -> Column:
 
 def scrape_raw_fields(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Scrape 'Label: value' lines into raw field columns (null when the
-    label is absent), cleaned per F9 (clean_text)."""
-    df = df.withColumn(DOC_TEXT, doc_text_expr(F.col(spans_col)))
+    label is absent), cleaned per F9 (clean_text).
+
+    Batched into TWO select projections, not 19 chained withColumns:
+    every withColumn re-analyzes the whole growing plan on the driver —
+    measured seconds of serial per-action overhead on this expression
+    tree. (Catalyst keeps the projections separate because _doc_text is
+    referenced 18× and is not cheap, so it is computed once per row.)"""
+    df = df.select("*", doc_text_expr(F.col(spans_col)).alias(DOC_TEXT))
+    raw_cols = []
     for label, fname in FIELD_LABELS:
         pat = rf"(?m)^{label}:[ \t]*(.*)$"
         raw = F.regexp_extract(F.col(DOC_TEXT), pat, 1)
         present = F.col(DOC_TEXT).rlike(rf"(?m)^{label}:")
-        df = df.withColumn(f"_raw_{fname}", F.when(present, clean_text_expr(raw)))
-    return df
+        raw_cols.append(F.when(present, clean_text_expr(raw)).alias(f"_raw_{fname}"))
+    return df.select("*", *raw_cols)
 
 
 def validate_and_normalize(df: DataFrame) -> DataFrame:
@@ -91,8 +98,14 @@ def validate_and_normalize(df: DataFrame) -> DataFrame:
         v = r[f]
         err_when(v.isNull() | (F.trim(v) == ""), f"{f}: This field is required and cannot be empty")
 
-    validation_errors = F.filter(F.array(*errors), lambda e: e.isNotNull())
-    has_error = F.size(validation_errors) > 0
+    # materialize validation_errors as its own projection so the 18
+    # poison-when field expressions below reference the COLUMN (one
+    # row-level evaluation, small driver plan) instead of inlining the
+    # whole error-array expression 18x
+    df = df.select(
+        "*", F.filter(F.array(*errors), lambda e: e.isNotNull()).alias("validation_errors")
+    )
+    has_error = F.size(F.col("validation_errors")) > 0
 
     # normalized (pre-poison) values
     norm: dict[str, Column] = {}
@@ -123,8 +136,9 @@ def validate_and_normalize(df: DataFrame) -> DataFrame:
         for f in FIELD_NAMES
     }
 
-    for f in FIELD_NAMES:
-        df = df.withColumn(f, F.when(has_error, poisoned[f]).otherwise(norm[f]))
+    df = df.select(
+        "*", *[F.when(has_error, poisoned[f]).otherwise(norm[f]).alias(f) for f in FIELD_NAMES]
+    )
 
     # date-relationship warning (extraction.py:195-206) — only on valid
     # records
@@ -140,11 +154,12 @@ def validate_and_normalize(df: DataFrame) -> DataFrame:
     )
     warnings = F.filter(F.array(warning), lambda w: w.isNotNull())
 
-    df = df.withColumn("validation_errors", validation_errors)
-    df = df.withColumn("warnings", warnings)
     # status (app/services/pdf_processor.py:113)
-    df = df.withColumn("status", F.when(has_error, "partial_success").otherwise(F.lit("success")))
-    return df
+    return df.select(
+        "*",
+        warnings.alias("warnings"),
+        F.when(has_error, "partial_success").otherwise(F.lit("success")).alias("status"),
+    )
 
 
 def extract_fields(documents: DataFrame, spans_col: str = "spans") -> DataFrame:

@@ -71,3 +71,64 @@ def doc_fingerprint_expr(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of casefolded,
     whitespace-collapsed text."""
     return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+# --- winnowing (rolling-hash) fingerprints ---------------------------------
+#
+# Schleimer/Wilkerson/Aiken winnowing over word-token k-grams: per-token
+# xxhash64, polynomial rolling combine over each k-gram, then the min
+# hash of every sliding window of w consecutive k-gram hashes; distinct
+# mins form the fingerprint set. Pure column expressions — the token
+# hash array is computed once per row (see dedup.hashed_shingles_expr
+# for why the two-projection split matters).
+
+_WINNOW_B = 1_000_003  # polynomial base
+# Mersenne prime 2^31-1: token hashes and coefficients stay < 2^31, so
+# every intermediate product fits in 62 bits — no silent 64-bit
+# wraparound inside the JVM long arithmetic (which would diverge from
+# any big-integer reference implementation).
+_WINNOW_P = 2147483647
+
+
+def _norm_words_expr(col: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+
+
+def token_hashes_expr(col: Column) -> Column:
+    """Per-word xxhash64 (non-negative, mod 2^61-1). Materialize into
+    its own column before :func:`winnow_fingerprints_expr`."""
+    return F.transform(_norm_words_expr(col), lambda t: F.pmod(F.xxhash64(t), F.lit(_WINNOW_P)))
+
+
+def kgram_hashes_expr(hashes: Column, k: int = 5) -> Column:
+    """Polynomial rolling hash of each k-gram of token hashes:
+    sum(h_i * B^(k-1-i)) mod P (empty when doc shorter than k)."""
+    n = F.size(hashes)
+    coeffs = [pow(_WINNOW_B, k - 1 - j, _WINNOW_P) for j in range(k)]
+
+    def gram(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, c in enumerate(coeffs):
+            acc = F.pmod(acc + F.pmod(F.element_at(hashes, i + j) * F.lit(c), F.lit(_WINNOW_P)), F.lit(_WINNOW_P))
+        return acc
+
+    return F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), gram)
+    )
+
+
+def winnow_fingerprints_expr(grams: Column, window: int = 4) -> Column:
+    """Distinct minima of every length-``window`` sliding window over the
+    k-gram hashes (sorted for deterministic output). Guarantees any
+    shared token run of length >= k + window - 1 between two docs yields
+    at least one shared fingerprint."""
+    n = F.size(grams)
+    mins = F.when(n <= 0, F.array().cast("array<long>")).otherwise(
+        F.when(n < window, F.array(F.array_min(grams))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - window + 1),
+                lambda i: F.array_min(F.slice(grams, i, window)),
+            )
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -41,7 +41,7 @@ from ..operators.assemble import (
     shard_lines_udf,
 )
 from ..operators.fields import DOC_TEXT, extract_fields
-from ..schema import DOCUMENTS
+from ..schema import DOCUMENTS_SIZED
 from ..functions.confidence import confidence_map_expr, estimated_cost_expr, token_count_expr
 
 PDF_MAGIC = bytes(b"%PDF-")
@@ -68,11 +68,15 @@ def extract_documents(
     shard_size_bytes: int = SHARD_SIZE_BYTES,
     shard_pages: int = SHARD_PAGES,
     partitions: int | None = None,
+    presalted: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """documents_raw → (documents(doc_id, spans), rejects).
 
     ``partitions``: explicit salt/repartition width before the kernel
     stage (defaults to spark.sql.shuffle.partitions).
+    ``presalted``: the input is already hash(doc_id)-spread (e.g. by
+    render_documents_raw) — skip the repartition so the content bytes
+    are never shuffled a second time.
     """
     spark = raw.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -85,11 +89,24 @@ def extract_documents(
 
     # explicit salt: uniform hash spread of docs over partitions so a
     # run of adjacent oversized policies cannot pile into one task
-    ok = ok.repartition(n_part, F.xxhash64("doc_id"))
+    if not presalted:
+        ok = ok.repartition(n_part, F.xxhash64("doc_id"))
 
+    sized = _extract_spans_sized(ok, shard_size_bytes, shard_pages)
+    return sized.drop("size_bytes"), rejects
+
+
+def _extract_spans_sized(
+    ok: DataFrame, shard_size_bytes: int, shard_pages: int
+) -> DataFrame:
+    """Kernel stage over validated docs → (doc_id, spans, size_bytes).
+    size_bytes rides along so results assembly needs no join back to
+    the raw table (a full-width shuffle at corpus scale)."""
     small = ok.filter(F.col("size_bytes") <= shard_size_bytes)
     small_docs = small.select(
-        "doc_id", extract_spans_udf("content", "media", "n_pages").alias("spans")
+        "doc_id",
+        extract_spans_udf("content", "media", "n_pages").alias("spans"),
+        "size_bytes",
     )
 
     big = ok.filter(F.col("size_bytes") > shard_size_bytes)
@@ -97,17 +114,63 @@ def extract_documents(
         "doc_id",
         "n_pages",
         "media",
+        "size_bytes",
         F.explode(shard_content_udf("content", F.lit(shard_pages))).alias("shard"),
     )
     shard_lines = shards.select(
         "doc_id",
         "n_pages",
         "media",
+        "size_bytes",
         shard_lines_udf("shard.chunk", "shard.base_offset", "shard.base_page").alias("lines"),
     )
-    big_docs = shard_lines.groupBy("doc_id").applyInPandas(merge_sharded_lines, schema=DOCUMENTS)
+    big_docs = shard_lines.groupBy("doc_id").applyInPandas(
+        merge_sharded_lines, schema=DOCUMENTS_SIZED
+    )
+    return small_docs.unionByName(big_docs)
 
-    return small_docs.unionByName(big_docs), rejects
+
+def extract_results(
+    raw: DataFrame,
+    max_size_bytes: int = MAX_FILE_SIZE_BYTES,
+    shard_size_bytes: int = SHARD_SIZE_BYTES,
+    shard_pages: int = SHARD_PAGES,
+    partitions: int | None = None,
+    model_used: str = DEFAULT_MODEL,
+    prompt_version: str = "v1",
+) -> DataFrame:
+    """Single-pass flagship plan: raw docs → ONE results DataFrame that
+    contains successful/partial records AND reject stubs (the reference
+    stores failed extractions in the same `extractions` table,
+    app/services/storage.py:167-306).
+
+    Scale shape: the salt repartition is ONE materialized exchange; the
+    ok-kernel branch, the oversized-shard branch, and the reject-stub
+    branch all read the same shuffle output (Spark ReuseExchange), so
+    content bytes are scanned/rendered once and shuffled once, and the
+    whole job is a single action — no second pass over the corpus to
+    collect rejects."""
+    spark = raw.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    salted = raw.repartition(n_part, F.xxhash64("doc_id"))
+    classified = classify_rejects(salted, max_size_bytes)
+    ok = classified.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    sized = _extract_spans_sized(ok, shard_size_bytes, shard_pages)
+    results = build_results(sized, model_used=model_used, prompt_version=prompt_version)
+
+    reject_stubs = (
+        classified.filter(F.col("reject_reason").isNotNull())
+        .select(
+            "doc_id",
+            F.col("size_bytes").alias("file_size"),
+            F.lit("error").alias("status"),
+            F.lit(model_used).alias("model_used"),
+            F.lit(prompt_version).alias("prompt_version"),
+            F.array(F.concat(F.lit("rejected: "), F.col("reject_reason"))).alias("warnings"),
+        )
+    )
+    return results.unionByName(reject_stubs, allowMissingColumns=True)
 
 
 def build_results(
@@ -121,36 +184,44 @@ def build_results(
     validation errors/warnings, status, confidence scores, deterministic
     token/cost metrics."""
     rec = extract_fields(documents)
-    rec = rec.withColumn("confidence_scores", confidence_map_expr(F.col(DOC_TEXT)))
-    rec = rec.withColumn("input_tokens", token_count_expr(F.col(DOC_TEXT)))
-    out_tok = (F.length(F.to_json(F.struct(*[F.col(f) for f in _field_cols(rec)]))) / 4).cast("long")
-    rec = rec.withColumn("output_tokens", out_tok)
-    rec = rec.withColumn("total_tokens", F.col("input_tokens") + F.col("output_tokens"))
-    rec = rec.withColumn("model_used", F.lit(model_used))
-    rec = rec.withColumn("prompt_version", F.lit(prompt_version))
-    rec = rec.withColumn(
-        "estimated_cost", estimated_cost_expr("input_tokens", "output_tokens", model_used)
-    )
-    # nested record mirroring the reference's extracted_data JSON blob
-    # (native struct instead of JSON text, app/services/storage.py:233-236)
-    rec = rec.withColumn("extracted_data", F.struct(*[F.col(f) for f in _field_cols(rec)]))
-    # failed field names derived from the structured error messages
-    # ("<field>: <message>"); cf. the reference's regex scrape F17
-    rec = rec.withColumn(
-        "failed_fields",
-        F.array_distinct(
-            F.transform(F.col("validation_errors"), lambda e: F.split(e, ":").getItem(0))
-        ),
-    )
+    fields = _field_cols(rec)
+    out_tok = (F.length(F.to_json(F.struct(*[F.col(f) for f in fields]))) / 4).cast("long")
     # A9: count of extracted (non-sentinel) fields
     non_empty = F.size(
         F.filter(
-            F.array(*[F.col(f).cast("string") for f in _field_cols(rec)]),
+            F.array(*[F.col(f).cast("string") for f in fields]),
             lambda v: v.isNotNull() & (v != EMPTY_VALUE) & (v != "[]"),
         )
     )
-    rec = rec.withColumn("extracted_fields", non_empty)
-    if raw is not None:
+    # batched projections (withColumn chains cost serial driver seconds
+    # re-analyzing this plan); second select for columns derived from
+    # input/output_tokens so those evaluate once per row
+    rec = rec.select(
+        "*",
+        confidence_map_expr(F.col(DOC_TEXT)).alias("confidence_scores"),
+        token_count_expr(F.col(DOC_TEXT)).alias("input_tokens"),
+        out_tok.alias("output_tokens"),
+        F.lit(model_used).alias("model_used"),
+        F.lit(prompt_version).alias("prompt_version"),
+        # nested record mirroring the reference's extracted_data JSON
+        # blob (native struct, app/services/storage.py:233-236)
+        F.struct(*[F.col(f) for f in fields]).alias("extracted_data"),
+        # failed field names from the structured error messages
+        # ("<field>: <message>"); cf. the reference's regex scrape F17
+        F.array_distinct(
+            F.transform(F.col("validation_errors"), lambda e: F.split(e, ":").getItem(0))
+        ).alias("failed_fields"),
+        non_empty.alias("extracted_fields"),
+    )
+    rec = rec.select(
+        "*",
+        (F.col("input_tokens") + F.col("output_tokens")).alias("total_tokens"),
+        estimated_cost_expr("input_tokens", "output_tokens", model_used).alias("estimated_cost"),
+    )
+    if "size_bytes" in rec.columns:
+        # size carried through the kernel stage — no join needed
+        rec = rec.withColumnRenamed("size_bytes", "file_size")
+    elif raw is not None:
         rec = rec.join(raw.select("doc_id", F.col("size_bytes").alias("file_size")), "doc_id", "left")
     return rec.drop(DOC_TEXT)
 

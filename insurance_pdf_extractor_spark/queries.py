@@ -586,6 +586,130 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# F5 — currency cleaning (app/utils/validators.py:13-32)
+# ---------------------------------------------------------------------------
+@register(
+    "currency_clean",
+    """
+    SELECT o_orderkey,
+           round(CAST(regexp_replace('  $' || CAST(o_totalprice AS VARCHAR) || ' ',
+                 '[$,\\s]', '', 'g') AS DOUBLE), 2) AS amount
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q_currency_clean(spark, sf_dir):
+    from .functions.normalizers import clean_currency_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    noisy = F.concat(F.lit("  $"), F.col("o_totalprice").cast("string"), F.lit(" "))
+    return o.select("o_orderkey", F.round(clean_currency_expr(noisy), 2).alias("amount"))
+
+
+# ---------------------------------------------------------------------------
+# F7 — boolean normalization, wide mapping (app/utils/validators.py:134-159)
+# ---------------------------------------------------------------------------
+_BOOL_VARIANTS_SQL = "CASE o_orderkey % 8 WHEN 0 THEN 'yes' WHEN 1 THEN 'No' WHEN 2 THEN 'TRUE' WHEN 3 THEN 'off' WHEN 4 THEN 'Included' WHEN 5 THEN 'maybe' WHEN 6 THEN ' Y ' ELSE '0' END"
+
+
+@register(
+    "boolean_normalize",
+    f"""
+    WITH v AS (SELECT o_orderkey, {_BOOL_VARIANTS_SQL} AS raw FROM orders WHERE o_orderkey % 15 = 0)
+    SELECT o_orderkey, raw,
+           CASE WHEN lower(trim(raw)) IN ('yes','true','included','include','y','1','on') THEN 'Included'
+                WHEN lower(trim(raw)) IN ('no','false','excluded','exclude','n','0','off') THEN 'Excluded'
+                ELSE raw END AS normalized
+    FROM v
+    """,
+)
+def q_boolean_normalize(spark, sf_dir):
+    from .functions.normalizers import normalize_boolean_utils_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    raw = F.expr(_BOOL_VARIANTS_SQL)
+    return o.select(
+        "o_orderkey", raw.alias("raw"), normalize_boolean_utils_expr(raw).alias("normalized")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — commission normalization (app/models/extraction.py:117-132)
+# ---------------------------------------------------------------------------
+_COMM_VARIANTS_SQL = "CASE p_partkey % 5 WHEN 0 THEN '10%' WHEN 1 THEN '$500' WHEN 2 THEN '12.5' WHEN 3 THEN '150' ELSE 'n/a' END"
+
+
+@register(
+    "commission_normalize",
+    f"""
+    WITH v AS (SELECT p_partkey, {_COMM_VARIANTS_SQL} AS raw FROM part WHERE p_partkey % 3 = 0)
+    SELECT p_partkey, raw,
+           CASE WHEN raw LIKE '%\\%%' ESCAPE '\\' OR raw LIKE '%$%' THEN trim(raw)
+                WHEN TRY_CAST(trim(raw) AS DOUBLE) IS NOT NULL
+                     AND TRY_CAST(trim(raw) AS DOUBLE) BETWEEN 0 AND 100
+                     THEN CAST(TRY_CAST(trim(raw) AS DOUBLE) AS VARCHAR) || '%'
+                ELSE raw END AS normalized
+    FROM v
+    """,
+)
+def q_commission_normalize(spark, sf_dir):
+    from .functions.normalizers import normalize_commission_expr
+
+    p = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    raw = F.expr(_COMM_VARIANTS_SQL)
+    return p.select(
+        "p_partkey", raw.alias("raw"), normalize_commission_expr(raw).alias("normalized")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F18 — filename sanitization (app/utils/validators.py:259-281)
+# ---------------------------------------------------------------------------
+@register(
+    "filename_sanitize",
+    """
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(p_name || '/v1:' || p_brand || '.pdf',
+               '[<>:"/\\\\|?*]', '_', 'g'), '\\s+', '_', 'g') AS safe_name
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def q_filename_sanitize(spark, sf_dir):
+    from .functions.normalizers import sanitize_filename_expr
+
+    p = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    fname = F.concat(F.col("p_name"), F.lit("/v1:"), F.col("p_brand"), F.lit(".pdf"))
+    return p.select("p_partkey", sanitize_filename_expr(fname).alias("safe_name"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup, exact threshold join (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_exact",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def q_embedding_near_dup_exact(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = similarity.cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", None)
@@ -607,6 +731,33 @@ def q_ann_lsh(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(emb, queries, k=10, n_planes=6)
+
+
+@register("simhash_near_dup_pairs", None)
+def q_simhash_pairs(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").limit(300)
+    return dedup.simhash_near_dup_pairs(d, max_hamming=20)
+
+
+@register("embedding_near_dup_lsh", None)
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: LSH-bucketed candidates (vs the
+    exact threshold join in embedding_near_dup_exact)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
+@register("winnow_fingerprints", None)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing) document fingerprints; xxhash64 token
+    hashes are Spark-specific, so this is rows-only (the algorithm is
+    value-tested against a pure-Python oracle in tests)."""
+    d = _load(spark, sf_dir, "documents").limit(300)
+    hashed = d.select("doc_id", tq.token_hashes_expr(F.col("text")).alias("h"))
+    grams = hashed.select("doc_id", tq.kgram_hashes_expr(F.col("h"), k=5).alias("g"))
+    return grams.select(
+        "doc_id", tq.winnow_fingerprints_expr(F.col("g"), window=4).alias("fingerprints")
+    )
 
 
 @register("media_features", None)
@@ -638,7 +789,7 @@ def q_extract_pipeline(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     raw = render_documents_raw(d)
-    docs, _rejects = extract_documents(raw)
+    docs, _rejects = extract_documents(raw, presalted=True)
     return docs.select(
         "doc_id", F.posexplode("spans").alias("order", "span")
     ).select("doc_id", "order", "span.kind", "span.text", "span.media_ref", "span.offset")

@@ -32,6 +32,16 @@ DOCUMENTS = T.StructType(
     ]
 )
 
+# Kernel-stage output: spans plus carried source size, so downstream
+# results assembly never needs a join back to the raw table.
+DOCUMENTS_SIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+        T.StructField("size_bytes", T.LongType(), True),
+    ]
+)
+
 # A positioned text run produced by the content-stream tokenizer.
 RUN = T.StructType(
     [

@@ -134,3 +134,69 @@ def test_embedding_near_dup_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1) in got
     assert all(a < b for a, b in got)
+
+
+def _py_winnow(text: str, tok_hash, k=5, w=4):
+    """Pure-Python (big-int) winnowing oracle for text_quality's
+    arithmetic — exact match requires all Spark-side products to stay
+    within 64-bit longs, which is why the modulus is 2^31-1."""
+    from insurance_pdf_extractor_spark.operators.text_quality import _WINNOW_B as B
+    from insurance_pdf_extractor_spark.operators.text_quality import _WINNOW_P as P
+    import re
+
+    words = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+    hs = [tok_hash(t) % P for t in words]
+    if len(hs) < k:
+        grams = []
+    else:
+        grams = [
+            sum(hs[i + j] * pow(B, k - 1 - j, P) for j in range(k)) % P
+            for i in range(len(hs) - k + 1)
+        ]
+    if not grams:
+        return []
+    if len(grams) < w:
+        mins = [min(grams)]
+    else:
+        mins = [min(grams[i : i + w]) for i in range(len(grams) - w + 1)]
+    return sorted(set(mins))
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    from insurance_pdf_extractor_spark.operators import text_quality as tq
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "short doc",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    hashed = df.select("doc_id", "text", tq.token_hashes_expr(F.col("text")).alias("h"))
+    grams = hashed.select("doc_id", "text", "h", tq.kgram_hashes_expr(F.col("h"), k=5).alias("g"))
+    out = grams.select(
+        "doc_id", "text", "h", tq.winnow_fingerprints_expr(F.col("g"), window=4).alias("fp")
+    ).collect()
+
+    for row in out:
+        # reuse Spark's own xxhash64 per-token values so the oracle only
+        # re-derives the ROLLING/WINNOW arithmetic independently
+        words = __import__("re").sub(r"\s+", " ", row["text"].strip()).lower().split(" ")
+        tok_map = dict(zip(words, row["h"]))
+        expect = _py_winnow(row["text"], lambda t: tok_map[t])
+        assert list(row["fp"]) == expect, row["text"]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    from insurance_pdf_extractor_spark.operators import text_quality as tq
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    a = "unique one two three " + shared + " tail tokens here"
+    b = "different prefix words " + shared + " other suffix"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    hashed = df.select("doc_id", tq.token_hashes_expr(F.col("text")).alias("h"))
+    grams = hashed.select("doc_id", tq.kgram_hashes_expr(F.col("h"), k=5).alias("g"))
+    fps = grams.select(
+        "doc_id", tq.winnow_fingerprints_expr(F.col("g"), window=4).alias("fp")
+    ).collect()
+    sets = {r["doc_id"]: set(r["fp"]) for r in fps}
+    assert sets[0] & sets[1], "docs sharing a k+w-1 token run must share a fingerprint"

@@ -1,0 +1,130 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (BASELINE.json: >=0.8 throughput scaling efficiency between N
+and 4N executors).
+
+No real cluster exists in this sandbox, so the same job runs at two
+parallelism levels — local[N] and local[4N] — in FRESH subprocesses
+(one JVM each) over byte-identical input, with the same partition
+count, so only the core count varies. Efficiency =
+(throughput_4N / throughput_N) / 4.
+
+Usage:
+  python tools/bench_scaling.py                  # orchestrate both runs
+  python tools/bench_scaling.py --run CORES      # single measured run
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SCALING_N (default 8), SCALING_REPLICATE (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N = int(os.environ.get("SCALING_N", "8"))
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "128"))
+PARTITIONS = 128  # fixed at both levels: identical work division, only cores vary
+
+
+def corpus(spark):
+    """Deterministic input: the shared documents table replicated
+    REPLICATE x (doc_id remapped per replica) so per-core work dominates
+    fixed overhead. Identical bytes at both parallelism levels."""
+    from pyspark.sql import functions as F
+
+    # the small parquet source is ONE unsplittable input partition —
+    # spread the base rows BEFORE the replicate explode, or the whole
+    # 640k-row explode+shuffle-write runs as a single serial task
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(PARTITIONS)
+    reps = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("rep"),
+        F.col("doc_id"),
+        F.col("text"),
+    ).select(
+        F.concat_ws("-", F.col("rep"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return reps
+
+
+def measured_run(cores: int) -> None:
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_results
+    from insurance_pdf_extractor_spark.session import build_session
+    from insurance_pdf_extractor_spark.sources.render import render_documents_raw
+
+    spark = build_session(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=PARTITIONS,
+    )
+    docs = corpus(spark)
+    n_docs = docs.count()
+    # warm-up: spin up Python workers + compile codegen for EVERY stage
+    # of the measured DAG outside the timed window (codegen of the
+    # 18-field extraction expression tree alone costs ~10 s once per
+    # JVM; a real cluster run amortizes it over hours)
+    extract_results(render_documents_raw(docs.limit(256))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # best-of-2: single-machine wall times vary ~30% run-to-run (page
+    # cache, GC, OS jitter); min is the stable estimator of capacity.
+    # The DataFrame is constructed once — plan construction is serial
+    # driver work a long-lived cluster job pays once.
+    job = extract_results(render_documents_raw(docs))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job.write.format("noop").mode("overwrite").save()
+        wall = min(wall, time.perf_counter() - t0)
+
+    print(json.dumps({"cores": cores, "n_docs": n_docs, "wall_sec": round(wall, 3),
+                      "docs_per_sec": round(n_docs / wall, 2)}))
+    spark.stop()
+
+
+def orchestrate() -> None:
+    results = {}
+    for cores in (N, 4 * N):
+        # taskset pins the WHOLE process tree (JVM + Python workers) to
+        # exactly `cores` CPUs — local[N] alone only caps concurrent
+        # task slots, and the slots' JVM threads + Python workers
+        # otherwise spill onto the machine's idle cores, flattening the
+        # apparent N→4N scaling.
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__, "--run", str(cores)],
+            capture_output=True, text=True, check=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    thr_n = results[N]["docs_per_sec"]
+    thr_4n = results[4 * N]["docs_per_sec"]
+    eff = round((thr_4n / thr_n) / 4, 3)
+    summary = {
+        "metric": "extraction throughput scaling efficiency N->4N cores",
+        "sf_dir": SF_DIR,
+        "replicate": REPLICATE,
+        "partitions": PARTITIONS,
+        "n_cores": N,
+        "runs": results,
+        "efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        measured_run(int(sys.argv[2]))
+    else:
+        orchestrate()
