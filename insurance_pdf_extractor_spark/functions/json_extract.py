@@ -1,0 +1,87 @@
+"""F1/F2 — LLM-response JSON extraction as pure column expressions.
+
+Reproduces the reference's two-stage response parser
+(app/services/gemini.py:197-284):
+
+- F1 ``extract_json_cascade_expr``: four regex strategies tried in
+  order (```json block, generic ``` block, ``json{...}`` keyword, bare
+  ``{...}``), DOTALL + case-insensitive, first strategy whose first
+  match parses to a non-empty JSON object wins (gemini.py:213-233).
+  Parsing uses ``from_json`` with a string map schema — null on
+  malformed input, exactly the "try next strategy" behavior.
+- F2 ``manual_kv_scrape_expr``: fallback key-value scrape with the
+  reference's two patterns (``"field": "value"`` then ``"field":
+  value``), later pattern overwriting earlier entries the way the
+  reference's dict assignment does (gemini.py:268-282). Requires
+  ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session.py).
+
+Everything stays inside Catalyst — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAP_SCHEMA = "map<string,string>"
+
+# Reference strategy patterns (gemini.py:213-218) with inline DOTALL +
+# case-insensitive flags; Java regex accepts (?is).
+JSON_PATTERNS = [
+    r"(?is)```json\s*(\{.*?\})\s*```",  # JSON code block
+    r"(?is)```\s*(\{.*?\})\s*```",  # generic code block
+    r"(?is)json\s*(\{.*?\})",  # json keyword
+    r"(?is)(\{.*?\})",  # any JSON-like structure
+]
+
+
+def _strategy_expr(col: Column, pattern: str) -> Column:
+    """One cascade strategy: ALL regex matches tried in order
+    (re.findall loop, gemini.py:220-233); the first that parses to a
+    NON-EMPTY object wins, else null."""
+    parsed = F.transform(
+        F.regexp_extract_all(col, F.lit(pattern), 1),
+        lambda m: F.from_json(F.trim(m), MAP_SCHEMA),
+    )
+    valid = F.filter(parsed, lambda p: p.isNotNull() & (F.size(F.map_keys(p)) > 0))
+    return F.when(F.size(valid) > 0, F.element_at(valid, 1))
+
+
+def extract_json_cascade_expr(col: Column) -> Column:
+    """F1 — first-winning-strategy JSON object as map<string,string>.
+    Null when every strategy fails (caller falls back to F2)."""
+    return F.coalesce(*[_strategy_expr(col, p) for p in JSON_PATTERNS])
+
+
+_KV_QUOTED = r'"?([a-zA-Z_]+)"?\s*:\s*"([^"]*)"'
+_KV_BARE = r'"?([a-zA-Z_]+)"?\s*:\s*([^,\n}]+)'
+
+
+def _kv_entries_expr(col: Column, pattern: str) -> Column:
+    """Aligned (key, value) entries for one scrape pattern; values get
+    the reference's strip-quotes cleanup, empty/'null' dropped
+    (gemini.py:276-282)."""
+    keys = F.regexp_extract_all(col, F.lit(pattern), 1)
+    vals = F.regexp_extract_all(col, F.lit(pattern), 2)
+    entries = F.arrays_zip(
+        F.transform(keys, lambda k: F.lower(F.trim(k))).alias("key"),
+        F.transform(
+            vals,
+            lambda v: F.regexp_replace(F.regexp_replace(F.trim(v), '^"|"$', ""), r"^'|'$", ""),
+        ).alias("value"),
+    )
+    return F.filter(entries, lambda e: (e["value"] != "") & (e["value"] != "null"))
+
+
+def manual_kv_scrape_expr(col: Column) -> Column:
+    """F2 — fallback key-value scrape to map<string,string>; null when
+    nothing matched (reference returns None, gemini.py:284)."""
+    merged = F.concat(_kv_entries_expr(col, _KV_QUOTED), _kv_entries_expr(col, _KV_BARE))
+    m = F.map_from_entries(merged)  # LAST_WIN: pattern-2 overwrites, like the dict loop
+    return F.when(F.size(merged) > 0, m)
+
+
+def parse_llm_response_expr(col: Column) -> Column:
+    """Full F1→F2 parse: cascade, then manual scrape; null = the
+    reference's ExtractionError path (gemini.py:253-258)."""
+    return F.coalesce(extract_json_cascade_expr(col), manual_kv_scrape_expr(col))

@@ -710,6 +710,185 @@ def q_embedding_near_dup_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# F1/F2 — LLM-response JSON extraction cascade + manual scrape fallback
+# (app/services/gemini.py:197-284). Spark constructs a synthetic
+# response per row (4 shapes incl. a broken-JSON one that exercises the
+# manual fallback) and parses it back; the oracle states the expected
+# recovered values, so a match proves the full construct→parse
+# round-trip for every strategy.
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_cascade",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS order_key,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def q_json_extract_cascade(spark, sf_dir):
+    from .functions.json_extract import parse_llm_response_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    key = F.col("o_orderkey").cast("string")
+    payload = F.concat(
+        F.lit('{"order_key": "'), key, F.lit('", "priority": "'), F.col("o_orderpriority"), F.lit('"}')
+    )
+    v = F.col("o_orderkey") % 4
+    resp = (
+        F.when(v == 0, F.concat(F.lit("Here it is:\n```json\n"), payload, F.lit("\n```\ndone")))
+        .when(v == 1, F.concat(F.lit("Sure! "), payload, F.lit(" hope that helps")))
+        .when(v == 2, F.concat(F.lit("the JSON "), payload, F.lit(" as requested")))
+        .otherwise(
+            F.concat(
+                F.lit("```json\n{broken\n```\n"),
+                F.lit('order_key: "'), key, F.lit('"\n'),
+                F.lit('priority: "'), F.col("o_orderpriority"), F.lit('"'),
+            )
+        )
+    )
+    m = parse_llm_response_expr(resp)
+    return o.select(
+        "o_orderkey",
+        m.getItem("order_key").alias("order_key"),
+        m.getItem("priority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 — confidence scoring heuristic (app/services/pdf_processor.py:403-445)
+# value = first word of the doc text (so the containment bonus varies),
+# scored as the 'quote_number' field against the doc text as response.
+# ---------------------------------------------------------------------------
+@register(
+    "confidence_scoring",
+    """
+    WITH v AS (
+      SELECT doc_id, text, split_part(trim(text), ' ', 1) AS val FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN val IS NULL OR val = 'EMPTY VALUE' OR val = '[]' THEN 0.0
+                ELSE least(1.0, greatest(0.0,
+                     0.5 + CASE WHEN len(val) > 5 THEN 0.2 ELSE 0 END
+                         + CASE WHEN strpos(text, val) > 0 THEN 0.2 ELSE 0 END
+                         - CASE WHEN len(val) < 3 THEN 0.1 ELSE 0 END
+                         + 0.1))
+           END AS confidence
+    FROM v
+    """,
+)
+def q_confidence_scoring(spark, sf_dir):
+    from .functions.confidence import _score_expr
+
+    d = _load(spark, sf_dir, "documents")
+    val = F.split_part(F.trim(F.col("text")), F.lit(" "), F.lit(1))
+    return d.select(
+        "doc_id", _score_expr("quote_number", val, F.col("text")).alias("confidence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — cost prediction with ±20% band (app/api/routes/analytics.py:209-265)
+# ---------------------------------------------------------------------------
+@register(
+    "cost_prediction",
+    """
+    WITH per AS (
+      SELECT round(l_extendedprice / 1000 * 0.000075 + l_quantity / 1000 * 0.0003, 6) AS c
+      FROM lineitem
+    )
+    SELECT round(avg(c) * 100, 6) AS predicted_cost,
+           round(avg(c) * 100 * 0.8, 6) AS low_estimate,
+           round(avg(c) * 100 * 1.2, 6) AS high_estimate
+    FROM per
+    """,
+)
+def q_cost_prediction(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    per = F.round(
+        F.col("l_extendedprice") / 1000 * 0.000075 + F.col("l_quantity") / 1000 * 0.0003, 6
+    )
+    agg = li.agg(F.avg(per).alias("avg_c"))
+    return agg.select(
+        F.round(F.col("avg_c") * 100, 6).alias("predicted_cost"),
+        F.round(F.col("avg_c") * 100 * 0.8, 6).alias("low_estimate"),
+        F.round(F.col("avg_c") * 100 * 1.2, 6).alias("high_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F17 — failed-field names scraped from quoted error strings
+# (app/services/pdf_processor.py:387-401)
+# ---------------------------------------------------------------------------
+@register(
+    "failed_fields_regex",
+    """
+    SELECT o_orderkey,
+           list_sort(list_distinct(regexp_extract_all(
+             'validation failed for ''' || o_orderpriority || ''' and ''' || o_orderstatus
+               || ''' (also ''' || o_orderpriority || ''')',
+             '''([^'']*)''', 1))) AS failed
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def q_failed_fields_regex(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    err = F.concat(
+        F.lit("validation failed for '"), F.col("o_orderpriority"),
+        F.lit("' and '"), F.col("o_orderstatus"),
+        F.lit("' (also '"), F.col("o_orderpriority"), F.lit("')"),
+    )
+    names = F.regexp_extract_all(err, F.lit(r"'([^']*)'"), 1)
+    return o.select(
+        "o_orderkey", F.array_sort(F.array_distinct(names)).alias("failed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 + F10 — date-format and quote-number validation predicates
+# (app/utils/validators.py:35-49, 115-131)
+# ---------------------------------------------------------------------------
+@register(
+    "validators",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3 WHEN 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+                  WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d') ELSE 'soon' END AS d,
+             CASE o_orderkey % 3 WHEN 0 THEN 'WC-' || CAST(o_orderkey AS VARCHAR)
+                  WHEN 1 THEN 'bad@quote!' ELSE '' END AS qn
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey,
+           regexp_matches(d, '^\\d{2}/\\d{2}/\\d{4}$') AS date_ok,
+           (qn IS NOT NULL AND trim(qn) != ''
+              AND regexp_matches(trim(qn), '^[A-Za-z0-9\\-_\\(\\)\\s]+$')) AS quote_ok
+    FROM v
+    """,
+)
+def q_validators(spark, sf_dir):
+    from .functions.normalizers import validate_quote_number_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey") % 3
+    d = (
+        F.when(k == 0, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(k == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.lit("soon"))
+    )
+    qn = (
+        F.when(k == 0, F.concat(F.lit("WC-"), F.col("o_orderkey").cast("string")))
+        .when(k == 1, F.lit("bad@quote!"))
+        .otherwise(F.lit(""))
+    )
+    return o.select(
+        "o_orderkey",
+        d.rlike(r"^\d{2}/\d{2}/\d{4}$").alias("date_ok"),
+        validate_quote_number_expr(qn).alias("quote_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", None)

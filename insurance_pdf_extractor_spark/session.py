@@ -45,6 +45,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # manual_kv_scrape_expr builds a map where a later scrape
+        # pattern overwrites earlier keys, like the reference's dict
+        # assignment loop (app/services/gemini.py:276-282)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
