@@ -912,6 +912,16 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=10, n_planes=6)
 
 
+@register("ann_ivf_topk", None)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN: no-shuffle cell assignment (one matmul per Arrow
+    batch vs driver-collected centroids), probe n nearest cells, exact
+    rerank inside probed cells."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 @register("simhash_near_dup_pairs", None)
 def q_simhash_pairs(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").limit(300)

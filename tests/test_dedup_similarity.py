@@ -200,3 +200,24 @@ def test_winnow_shared_run_guarantee(spark):
     ).collect()
     sets = {r["doc_id"]: set(r["fp"]) for r in fps}
     assert sets[0] & sets[1], "docs sharing a k+w-1 token run must share a fingerprint"
+
+
+def test_ivf_topk_recall(emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb_df, queries, k=5)
+    # probing every cell == exhaustive -> must equal brute force exactly
+    full = similarity.ivf_topk(emb_df, queries, k=5, n_centroids=4, n_probe=4)
+    ex = {(r["query_id"], r["cand_id"], r["rank"]) for r in exact.collect()}
+    fu = {(r["query_id"], r["cand_id"], r["rank"]) for r in full.collect()}
+    assert fu == ex
+    # partial probe: results are a subset of the probed cells, ranked
+    part = similarity.ivf_topk(emb_df, queries, k=5, n_centroids=8, n_probe=2)
+    rows = part.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    # top-1 recall with half the cells probed should usually hold
+    ex1 = {r["query_id"]: r["cand_id"] for r in exact.filter(F.col("rank") == 1).collect()}
+    p1 = {r["query_id"]: r["cand_id"] for r in part.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, c in ex1.items() if p1.get(q) == c)
+    assert hits >= 1
