@@ -36,6 +36,8 @@ HEADLINE = [
     "token_counts",            # tokenization stats over documents
     "quality_scores",          # quality scoring over documents
     "cosine_topk",             # brute-force cosine top-k ANN baseline
+    "ann_ivf_topk",            # IVF-cell ANN scale path
+    "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip
 ]
 
 

@@ -50,3 +50,47 @@ def windowed_event_metrics(events: DataFrame, window: str = "5 minutes", waterma
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_exact_dedup(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact dedup
+    ACROSS micro-batches. State per fingerprint = 'already emitted';
+    only the first document with a given normalized-text fingerprint
+    ever passes, even when duplicates arrive in later batches (state is
+    durable in the streaming checkpoint).
+
+    Scale shape: state is partitioned by fingerprint hash, so the
+    operator scales horizontally with shuffle partitions; per-key state
+    is one boolean + the keeper id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import fingerprint_expr
+
+    keyed = stream_df.select(
+        fingerprint_expr(F.col("text")).alias("fp"), F.col("doc_id").cast("string").alias("doc_id")
+    )
+
+    def emit_first(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain
+                pass
+            return iter([])
+        keeper = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["doc_id"].min()
+                keeper = cand if keeper is None else min(keeper, cand)
+        if keeper is None:
+            return iter([])
+        state.update((True,))
+        return iter([pd.DataFrame({"fp": [key[0]], "doc_id": [keeper]})])
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        emit_first,
+        outputStructType="fp string, doc_id string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

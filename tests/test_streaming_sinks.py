@@ -100,3 +100,48 @@ def test_decode_media_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"x", "image/png")
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the dedup state survives micro-batches —
+    a duplicate arriving in batch 2 is dropped because batch 1 already
+    emitted its fingerprint."""
+    from insurance_pdf_extractor_spark.streaming.stream import streaming_exact_dedup
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, text string"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        out = streaming_exact_dedup(stream)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(str(tmp_path / "out"))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [("a1", "hello world"), ("a2", "HELLO   world"), ("b1", "other text")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_batch()
+
+    b2 = spark.createDataFrame(
+        [("c1", "hello world"), ("d1", "brand new text")], schema  # c1 is a cross-batch dup
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_batch()
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert "d1" in got and "b1" in got
+    assert "c1" not in got  # cross-batch duplicate suppressed by state
+    # exactly one keeper for the hello-world fingerprint
+    assert len(got & {"a1", "a2"}) == 1
