@@ -66,6 +66,10 @@ def run_extract_job(
     # resume anti-join (J3): only not-yet-checkpointed buckets
     pending = raw.join(done, "bucket", "left_anti")
 
+    if pending.isEmpty():
+        # fully-checkpointed run: nothing to do (common on retry loops)
+        return {"run_id": run_id, "buckets_completed": 0, "wall_ms": int((time.monotonic() - t0) * 1000)}
+
     if _limit_buckets is not None:
         keep = [
             r["bucket"]
