@@ -889,6 +889,53 @@ def q_validators(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A7 (full) — trend classification: last-7-day vs previous-7-day daily
+# averages, ±10% bands → increasing/decreasing/stable
+# (app/api/routes/analytics.py:129-148,362-378)
+# ---------------------------------------------------------------------------
+@register(
+    "trend_classification",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY d DESC) AS rn FROM daily
+    ),
+    agg AS (
+      SELECT round(avg(CASE WHEN rn <= 7 THEN v END), 4) AS recent_avg,
+             round(avg(CASE WHEN rn BETWEEN 8 AND 14 THEN v END), 4) AS previous_avg
+      FROM ranked
+    )
+    SELECT recent_avg, previous_avg,
+           CASE WHEN recent_avg > previous_avg * 1.1 THEN 'increasing'
+                WHEN recent_avg < previous_avg * 0.9 THEN 'decreasing'
+                ELSE 'stable' END AS trend
+    FROM agg
+    """,
+)
+def q_trend_classification(spark, sf_dir):
+    daily = (
+        _load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("v"))
+    )
+    ranked = daily.select("v", F.row_number().over(Window.orderBy(F.desc("d"))).alias("rn"))
+    agg = ranked.agg(
+        F.round(F.avg(F.when(F.col("rn") <= 7, F.col("v"))), 4).alias("recent_avg"),
+        F.round(F.avg(F.when(F.col("rn").between(8, 14), F.col("v"))), 4).alias("previous_avg"),
+    )
+    return agg.select(
+        "recent_avg",
+        "previous_avg",
+        F.when(F.col("recent_avg") > F.col("previous_avg") * 1.1, "increasing")
+        .when(F.col("recent_avg") < F.col("previous_avg") * 0.9, "decreasing")
+        .otherwise("stable")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", None)
