@@ -100,13 +100,16 @@ def normalize_boolean_model_expr(col: Column) -> Column:
 def normalize_commission_expr(col: Column) -> Column:
     """F8 — keep %/$ forms; bare 0-100 number gets '%' appended with
     Python float formatting ('15' → '15.0%')
-    (app/models/extraction.py:117-132)."""
-    v = F.trim(col)
+    (app/models/extraction.py:117-132). The reference REBINDS v to the
+    stripped value before its fallthrough `return v`, so unparseable
+    non-empty input comes back stripped (property-tested vs the
+    oracle)."""
+    v = F.regexp_replace(col, r"^\s+|\s+$", "")  # Python str.strip (all whitespace)
     num = v.cast("double")
     return F.when(col.isNull() | (col == EMPTY_VALUE) | (col == ""), col).otherwise(
         F.when(v.contains("%") | v.contains("$"), v)
         .when(num.isNotNull() & (num >= 0) & (num <= 100), F.concat(num.cast("string"), F.lit("%")))
-        .otherwise(col)
+        .otherwise(v)
     )
 
 

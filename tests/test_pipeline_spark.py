@@ -108,3 +108,19 @@ def test_records_match_oracle(pipeline_out, corpus_docs):
 def test_documents_schema(pipeline_out):
     _raw, docs, _ = pipeline_out
     assert docs.schema == DOCUMENTS or [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+
+
+def test_extract_results_parallelism_invariant(spark, corpus_docs):
+    """The single-pass plan emits identical rows at different partition
+    counts (north rule: all ordering data-derived)."""
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_results
+    from insurance_pdf_extractor_spark import corpus as C
+
+    raw = C.to_raw_df(spark, corpus_docs[:40])
+
+    def snapshot(partitions):
+        res = extract_results(raw, partitions=partitions)
+        rows = res.select("doc_id", "status", "extracted_data", "warnings", "file_size").collect()
+        return sorted((r["doc_id"], r["status"], r["extracted_data"], tuple(r["warnings"] or []), r["file_size"]) for r in rows)
+
+    assert snapshot(2) == snapshot(16)
