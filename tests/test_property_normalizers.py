@@ -81,3 +81,41 @@ def test_date_normalize_parity(spark, vals):
     got = _spark_map(spark, vals, N.normalize_date_expr)
     exp = [oracle.normalize_date(v) for v in vals]
     assert got == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts)
+def test_boolean_model_parity(spark, vals):
+    got = _spark_map(spark, vals, N.normalize_boolean_model_expr)
+    exp = [oracle.normalize_boolean_model(v) for v in vals]
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts)
+def test_quote_number_parity(spark, vals):
+    got = _spark_map(spark, vals, N.validate_quote_number_expr, "boolean")
+    exp = [oracle.validate_quote_number(v) for v in vals]
+    assert got == exp
+
+
+_statey = st.lists(
+    st.one_of(
+        st.sampled_from(["CA", "NY", "tx", "ZZ", "AL MS", "covered in CA and NY", "XCAX"]),
+        st.text(alphabet=string.ascii_uppercase + " .,-", max_size=20),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_statey)
+def test_state_codes_parity(spark, vals):
+    from insurance_pdf_extractor_spark.constants import US_STATES
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v string")
+    rows = df.select("i", N.extract_state_codes_expr(F.col("v")).alias("o")).orderBy("i").collect()
+    got = [list(r["o"]) for r in rows]
+    exp = [oracle.extract_state_codes(v, set(US_STATES)) for v in vals]
+    assert got == exp
