@@ -29,9 +29,236 @@ _WS = " \t\r\n\f\x00"
 _DELIM = "()<>[]{}/%"
 
 
+import re
+
+# master token pattern for finditer: whitespace is NOT an alternative —
+# the regex engine skips it during search at C speed, so the Python
+# loop iterates once per MEANINGFUL token (strings, names, numbers,
+# operators), not per character or whitespace run. A '(' that the flat
+# string alternative cannot swallow (nested parens) surfaces as the
+# lone '\(' alternative → whole-doc fallback to the straight-line
+# parser (nested strings are rare).
+_MASTER = re.compile(
+    r"""
+      \((?:\\.|[^()\\])*\)             # flat literal string (no nesting)
+    | [()]                             # stray/nested paren → fallback signal
+    | %[^\r\n]*                        # comment (incl. %%PAGE markers)
+    | /[^ \t\r\n\f\x00()<>\[\]{}/%]*   # name
+    | [\[\]]                           # array delimiters
+    | [<>{}]                           # other delimiters (consumed, never operands)
+    | [^ \t\r\n\f\x00()<>\[\]{}/%]+    # number or operator keyword
+    """,
+    re.X,
+)
+_ESC = re.compile(r"\\([0-7]{1,3}|.)")
+
+
+def _unescape(m: re.Match) -> str:
+    g = m.group(1)
+    if g[0] in "01234567":
+        return chr(int(g, 8) & 0xFF)
+    return _STR_ESCAPES.get(g, g)
+
+
+def _decode(s: str) -> str:
+    try:
+        return s.encode("latin-1").decode("utf-8")
+    except (UnicodeDecodeError, UnicodeEncodeError):
+        return s
+
+
+_FLAT = r"\((?:\\.|[^()\\])*\)"
+_NUM = r"[+-]?[\d.]+"
+# one whole simple text block per C-level match: optional Tf, one
+# Td/Tm positioning, one Tj/TJ showing. This is the dominant shape in
+# rendered insurance documents; anything else falls back to the
+# token-level interpreter for the whole document.
+_BLOCK = re.compile(
+    rf"""
+    BT\s+
+    (?: /[^\s()<>\[\]{{}}/%]*\s+{_NUM}\s+Tf\s+ )?
+    (?: ({_NUM})\s+({_NUM})\s+Td
+      | {_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+({_NUM})\s+({_NUM})\s+Tm
+    )\s+
+    (?: ({_FLAT})\s+Tj
+      | \[((?:\s|{_NUM}|{_FLAT})*)\]\s+TJ
+    )\s+
+    ET
+    """,
+    re.X,
+)
+_FLAT_ALL = re.compile(_FLAT)
+_SKIP_WS = re.compile(r"[ \t\r\n\f\x00]*")
+_COMMENT = re.compile(r"[^\r\n]*")
+
+
+def _unescape_str(s: str) -> str:
+    if "\\" in s:
+        s = _ESC.sub(_unescape, s)
+    return _decode(s)
+
+
 def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]:
     """Parse one content stream. Returns runs as
-    (page, x, y, byte_offset, text) tuples."""
+    (page, x, y, byte_offset, text) tuples.
+
+    Two-tier scanner: a block-level fast path matches one whole
+    ``BT … Tf? (Td|Tm) (Tj|TJ) ET`` text block per compiled-regex
+    iteration (the dominant shape of rendered documents), so the Python
+    loop runs per text RUN rather than per token or character. Any
+    content the block pattern cannot express (multiple shows per block,
+    nested strings, exotic operators) falls back to the token-level
+    interpreter for the whole document — semantics are
+    differential-fuzzed as identical.
+    """
+    if not content:
+        return []
+    text = content.decode("latin-1")
+    n = len(text)
+    pos = 0
+    page = 0
+    runs: list[tuple[int, float, float, int, str]] = []
+    skip = _SKIP_WS.match
+    block = _BLOCK.match
+
+    while pos < n:
+        pos = skip(text, pos).end()
+        if pos >= n:
+            break
+        c = text[pos]
+        if c == "%":
+            eol = _COMMENT.match(text, pos).end()  # stops at \r OR \n
+            if text.startswith("%%PAGE", pos):
+                rest = text[pos + 6 : eol].strip()
+                page = int(rest) if rest.lstrip("-").isdigit() else page + 1
+            pos = eol
+            continue
+        m = block(text, pos)
+        if m is None:
+            # non-template content: reparse the WHOLE doc with the
+            # token-level interpreter (identical semantics, slower)
+            return _tokenize_interpreter(content)
+        if m.group(1) is not None:  # Td form
+            x, y = float(m.group(1)), float(m.group(2))
+        else:  # Tm form
+            x, y = float(m.group(3)), float(m.group(4))
+        s = m.group(5)
+        if s is not None:  # Tj
+            runs.append((page, x, y, m.start(5), _unescape_str(s[1:-1])))
+        else:  # TJ array: concatenate its strings; offset = '[' position
+            arr = m.group(6)
+            joined = "".join(_unescape_str(p[1:-1]) for p in _FLAT_ALL.findall(arr))
+            if joined:
+                runs.append((page, x, y, m.start(6) - 1, joined))
+        pos = m.end()
+    return runs
+
+
+def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, str]]:
+    """Token-level interpreter (finditer master pattern): handles every
+    operator arrangement the block fast path cannot. Nested literal
+    strings fall back once more to the straight-line reference parser.
+    """
+    if not content:
+        return []
+    text = content.decode("latin-1")
+    page = 0
+    lm_x = lm_y = 0.0
+    leading = 0.0
+    stack: list = []
+    runs: list[tuple[int, float, float, int, str]] = []
+    array_marks: list[int] = []
+
+    for m in _MASTER.finditer(text):
+        tok = m.group(0)
+        t0 = tok[0]
+        if t0 == "(":
+            if len(tok) == 1:
+                # nested or unterminated string: the flat alternative
+                # could not swallow it — reparse the whole doc with the
+                # straight-line reference parser (identical semantics)
+                return tokenize_content_reference(content)
+            s = tok[1:-1]
+            if "\\" in s:
+                s = _ESC.sub(_unescape, s)
+            stack.append(("s", m.start(), _decode(s)))
+            continue
+        if t0 == ")":
+            continue  # stray closer, skip
+        if t0 == "%":
+            if tok.startswith("%%PAGE"):
+                rest = tok[6:].strip()
+                page = int(rest) if rest.lstrip("-").isdigit() else page + 1
+            continue
+        if t0 == "[":
+            array_marks.append(len(stack))
+            stack.append(("mark", m.start(), None))
+            continue
+        if t0 == "]":
+            if array_marks:
+                mk = array_marks.pop()
+                items = stack[mk + 1 :]
+                off = stack[mk][1]
+                del stack[mk:]
+                stack.append(("a", off, items))
+            continue
+        if t0 == "/":
+            stack.append(("n", m.start(), tok))
+            continue
+        if t0 in "<>{}":
+            continue
+        if t0 in "+-.0123456789":
+            try:
+                stack.append(float(tok))
+            except ValueError:
+                pass
+            continue
+        op = tok
+        if op == "BT":
+            lm_x = lm_y = 0.0
+            leading = 0.0
+            stack.clear()
+        elif op == "Td" or op == "TD":
+            if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
+                ty, tx = stack[-1], stack[-2]
+                lm_x += tx
+                lm_y += ty
+                if op == "TD":
+                    leading = -ty
+            stack.clear()
+        elif op == "Tm":
+            if len(stack) >= 6 and all(isinstance(v, float) for v in stack[-6:]):
+                lm_x, lm_y = stack[-2], stack[-1]
+            stack.clear()
+        elif op == "T*":
+            lm_y -= leading
+            stack.clear()
+        elif op == "TL":
+            if stack and isinstance(stack[-1], float):
+                leading = stack[-1]
+            stack.clear()
+        elif op == "Tj" or op == "'":
+            if op == "'":
+                lm_y -= leading
+            if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
+                _, off, s = stack[-1]
+                runs.append((page, lm_x, lm_y, off, s))
+            stack.clear()
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
+                _, off, items = stack[-1]
+                s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
+                if s:
+                    runs.append((page, lm_x, lm_y, off, s))
+            stack.clear()
+        else:  # ET and every unknown operator consume their operands
+            stack.clear()
+    return runs
+
+
+def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, int, str]]:
+    """Straight-line per-character implementation, kept as the
+    differential-testing reference for the regex scanner above."""
     if not content:
         return []
     text = content.decode("latin-1")
@@ -57,10 +284,10 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
                 if nxt in _STR_ESCAPES:
                     out.append(_STR_ESCAPES[nxt])
                     j += 2
-                elif nxt.isdigit():  # octal \ddd (1-3 digits)
+                elif nxt in "01234567":  # octal \ddd (1-3 digits)
                     k = j + 1
                     digits = ""
-                    while k < n and text[k].isdigit() and len(digits) < 3:
+                    while k < n and text[k] in "01234567" and len(digits) < 3:
                         digits += text[k]
                         k += 1
                     out.append(chr(int(digits, 8) & 0xFF))
@@ -144,6 +371,9 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
         j = i
         while j < n and text[j] not in _WS and text[j] not in _DELIM:
             j += 1
+        if j == i:  # lone delimiter (< > { } or stray ')'): consume it
+            i += 1
+            continue
         op = text[i:j]
         i = j
         if op == "BT":

@@ -1,0 +1,97 @@
+"""Differential fuzzing of the three tokenizer tiers: the block-level
+fast path and the token-level interpreter must agree byte-for-byte with
+the straight-line reference parser on arbitrary structured content
+streams — template blocks, multi-show blocks, nested/escaped strings,
+stray delimiters, unknown operators, \\r line endings."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from insurance_pdf_extractor_spark.operators.tokenize import (
+    _tokenize_interpreter,
+    tokenize_content,
+    tokenize_content_reference,
+)
+
+_string_body = st.text(
+    alphabet="abcXYZ 0123456789.,$%-·é\\()nrt",
+    max_size=20,
+).map(lambda s: s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)"))
+
+_escaped = st.sampled_from(["\\101\\102", "a\\tb", "x\\(y\\)z", "\\n", "\\065", "q\\\\w"])
+
+_nested = st.sampled_from(["a(b)c", "a(b(c))d", "(x)"])  # raw nesting (balanced)
+
+
+def _tj_block(x, y, body):
+    return f"BT\n/F1 12 Tf\n{x:.1f} {y:.1f} Td\n({body}) Tj\nET\n"
+
+
+def _tm_tj_block(x, y, body):
+    return f"BT\n1 0 0 1 {x:.1f} {y:.1f} Tm\n({body}) Tj\nET\n"
+
+
+def _tJ_block(x, y, a, b):
+    return f"BT\n{x:.1f} {y:.1f} Td\n[({a}) -120 ({b})] TJ\nET\n"
+
+
+def _multi_block(x, y, a, b):
+    # multiple shows + T*/TL inside one BT: forces the interpreter path
+    return f"BT\n{x:.1f} {y:.1f} Td\n14 TL\n({a}) Tj\nT*\n({b}) Tj\nET\n"
+
+
+def _quote_block(x, y, a):
+    return f"BT\n{x:.1f} {y:.1f} Td\n12 TL\n({a}) '\nET\n"
+
+
+_coord = st.integers(0, 800)
+
+_piece = st.one_of(
+    st.builds(_tj_block, _coord, _coord, _string_body),
+    st.builds(_tm_tj_block, _coord, _coord, _string_body),
+    st.builds(_tJ_block, _coord, _coord, _string_body, _string_body),
+    st.builds(_multi_block, _coord, _coord, _string_body, _string_body),
+    st.builds(_quote_block, _coord, _coord, _string_body),
+    st.builds(_tj_block, _coord, _coord, _escaped),
+    st.builds(lambda b: f"BT\n10 20 Td\n({b}) Tj\nET\n", _nested),
+    st.sampled_from(
+        [
+            "%%PAGE 1\n",
+            "%%PAGE 2\n",
+            "% plain comment\n",
+            "% cr comment\r10 20 Td\n",
+            "<< /Type /Page >>\n",   # dict delimiters (consumed, no-ops)
+            "{ } > <\n",
+            "q 1 0 0 1 5 5 cm Q\n",  # unknown operators with operands
+            "BT\n(orphan string) ET\n",  # show-less block
+            ") stray\n",
+        ]
+    ),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_piece, min_size=1, max_size=12))
+def test_tokenizer_tiers_agree(pieces):
+    content = ("%PDF-1.4\n" + "".join(pieces)).encode("latin-1")
+    ref = tokenize_content_reference(content)
+    assert tokenize_content(content) == ref
+    assert _tokenize_interpreter(content) == ref
+
+
+def test_fast_path_handles_corpus_without_fallback():
+    """All rendered corpus docs should take the block fast path (the
+    speedup only exists if they do). Verified by monkeypatching the
+    interpreter fallback to raise."""
+    import insurance_pdf_extractor_spark.operators.tokenize as tk
+    from insurance_pdf_extractor_spark import corpus as C
+
+    docs = [d.content for d in C.generate_corpus(60) if d.content]
+    orig = tk._tokenize_interpreter
+    tk._tokenize_interpreter = lambda c: (_ for _ in ()).throw(AssertionError("fell back"))
+    try:
+        for c in docs:
+            tk.tokenize_content(c)
+    finally:
+        tk._tokenize_interpreter = orig
