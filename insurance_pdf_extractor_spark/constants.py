@@ -96,7 +96,12 @@ Y_BIN_PT = 4.0
 # Oversized-document sharding threshold for skew defusal (north rule):
 # docs whose content exceeds this many bytes are split into page-range
 # shards before the tokenize stage and reassembled after layout.
-SHARD_SIZE_BYTES = 512 * 1024
-SHARD_PAGES = 8
+# Oversized-doc shard threshold. Sharding pays a fixed machinery cost
+# (chunk shuffle + per-doc merge, measured ~5-10 s for a 47 MB doc), so
+# it only wins wall-time for documents whose SERIAL kernel time exceeds
+# that — and it bounds executor memory (one doc = one Arrow batch
+# otherwise). 64 MB keeps the common path shard-free.
+SHARD_SIZE_BYTES = 64 * 1024 * 1024
+SHARD_PAGES = 512
 
 EXTRACTOR_VERSION = "0.1.0"

@@ -37,8 +37,8 @@ from ..constants import (
 from ..operators.assemble import (
     extract_spans_udf,
     merge_sharded_lines,
-    shard_content_udf,
     shard_lines_udf,
+    shard_offsets_udf,
 )
 from ..operators.fields import DOC_TEXT, extract_fields
 from ..schema import DOCUMENTS_SIZED
@@ -110,13 +110,35 @@ def _extract_spans_sized(
     )
 
     big = ok.filter(F.col("size_bytes") > shard_size_bytes)
+    # offsets-only sharding: bytes cross Arrow into Python once (marker
+    # scan), chunks are sliced JVM-side INSIDE the transform that feeds
+    # the explode. Slicing before the Generate matters: exploding
+    # offsets first and slicing after would copy the FULL content
+    # binary into every shard row (n_shards × doc bytes — measured as
+    # the dominant cost of the old chunk-carrying path).
+    chunk_structs = F.transform(
+        shard_offsets_udf("content", F.lit(shard_pages)),
+        lambda so: F.struct(
+            so["shard_idx"].alias("shard_idx"),
+            F.substring(
+                F.col("content"), (so["start"] + 1).cast("int"), so["length"].cast("int")
+            ).alias("chunk"),
+            so["start"].alias("base_offset"),
+            so["base_page"].alias("base_page"),
+        ),
+    )
     shards = big.select(
         "doc_id",
         "n_pages",
         "media",
         "size_bytes",
-        F.explode(shard_content_udf("content", F.lit(shard_pages))).alias("shard"),
+        F.explode(chunk_structs).alias("shard"),
     )
+    # CRITICAL: exploded shards land in the parent row's partition — one
+    # giant doc's shards would tokenize serially in one task without
+    # this spread (measured: sharding was net-negative before). Only the
+    # oversized tail pays this extra chunked-bytes shuffle.
+    shards = shards.repartition(F.xxhash64("doc_id", "shard.shard_idx"))
     shard_lines = shards.select(
         "doc_id",
         "n_pages",
