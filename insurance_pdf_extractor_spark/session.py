@@ -44,6 +44,12 @@ def build_session(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # byte-bound Arrow batches BOTH directions: a row is a whole
+        # document (up to SHARD_SIZE_BYTES), so record-count limits
+        # alone cannot bound executor memory; 64 MB input is the Spark
+        # 4 default, the output bound is -1 (unbounded) unless set
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxBytesPerOutputBatch", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         # manual_kv_scrape_expr builds a map where a later scrape
         # pattern overwrites earlier keys, like the reference's dict

@@ -44,6 +44,8 @@ def build_cluster_session(app_name: str) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.maxBytesPerOutputBatch": str(64 * 1024 * 1024),
         "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     }.items():
         b = b.config(k, v)
