@@ -51,6 +51,7 @@ _MASTER = re.compile(
     re.X,
 )
 _ESC = re.compile(r"\\([0-7]{1,3}|.)")
+_NUM_ONLY = re.compile(r"[+\-.\d]+")
 
 
 def _unescape(m: re.Match) -> str:
@@ -208,10 +209,17 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
         if t0 in "<>{}":
             continue
         if t0 in "+-.0123456789":
-            try:
-                stack.append(float(tok))
-            except ValueError:
-                pass
+            if _NUM_ONLY.fullmatch(tok):
+                try:
+                    stack.append(float(tok))
+                except ValueError:
+                    pass
+            else:
+                # digit-leading keyword like '1e308' (PDF numbers have
+                # no exponent form): an unknown operator — clears
+                # operands, matching the reference scanner's net effect
+                # of number-prefix-push + keyword-clear
+                stack.clear()
             continue
         op = tok
         if op == "BT":
