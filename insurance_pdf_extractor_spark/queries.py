@@ -936,6 +936,29 @@ def q_trend_classification(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 — tumbling event-time windows (same shape streaming uses with a
+# watermark; batch here so DuckDB can value-match via time_bucket)
+# ---------------------------------------------------------------------------
+@register(
+    "windowed_metrics",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_metrics(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", None)
