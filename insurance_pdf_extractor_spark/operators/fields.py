@@ -45,23 +45,43 @@ def doc_text_expr(spans: Column) -> Column:
     return F.array_join(texts, "\n")
 
 
+_LABELS_ALT = "|".join(
+    # longest-first so prefix labels can't shadow (the ':' requirement
+    # already prevents wrong matches; ordering just avoids backtracking)
+    sorted((label for label, _f in FIELD_LABELS), key=len, reverse=True)
+)
+_SCRAPE_PAT = rf"(?m)^(?:{_LABELS_ALT}):[ \t]*.*$"
+_KV = "_label_kv"
+
+
 def scrape_raw_fields(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Scrape 'Label: value' lines into raw field columns (null when the
-    label is absent), cleaned per F9 (clean_text).
+    label is absent, '' when present-but-empty), cleaned per F9
+    (clean_text).
 
-    Batched into TWO select projections, not 19 chained withColumns:
-    every withColumn re-analyzes the whole growing plan on the driver —
-    measured seconds of serial per-action overhead on this expression
-    tree. (Catalyst keeps the projections separate because _doc_text is
-    referenced 18× and is not cheap, so it is computed once per row.)"""
+    SINGLE-PASS: one `regexp_extract_all` with a label alternation
+    scans the document text once, and the 18 field columns are O(1)
+    lookups in the resulting map — the per-field formulation (18
+    regexp_extract + 18 rlike full-text scans per row) measured as
+    ~half the whole results-stage cost. First occurrence of a repeated
+    label wins (reverse + LAST_WIN = first-win), matching
+    regexp_extract's first-match semantics. Batched select projections,
+    not withColumn chains (driver re-analysis cost)."""
     df = df.select("*", doc_text_expr(F.col(spans_col)).alias(DOC_TEXT))
-    raw_cols = []
-    for label, fname in FIELD_LABELS:
-        pat = rf"(?m)^{label}:[ \t]*(.*)$"
-        raw = F.regexp_extract(F.col(DOC_TEXT), pat, 1)
-        present = F.col(DOC_TEXT).rlike(rf"(?m)^{label}:")
-        raw_cols.append(F.when(present, clean_text_expr(raw)).alias(f"_raw_{fname}"))
-    return df.select("*", *raw_cols)
+    lines = F.regexp_extract_all(F.col(DOC_TEXT), F.lit(_SCRAPE_PAT), 0)
+    entries = F.transform(
+        lines,
+        lambda l: F.struct(
+            F.substring_index(l, ":", 1).alias("key"),
+            clean_text_expr(F.regexp_replace(l, r"^[^:]*:[ \t]*", "")).alias("value"),
+        ),
+    )
+    df = df.select("*", F.map_from_entries(F.reverse(entries)).alias(_KV))
+    raw_cols = [
+        F.element_at(F.col(_KV), F.lit(label)).alias(f"_raw_{fname}")
+        for label, fname in FIELD_LABELS
+    ]
+    return df.select("*", *raw_cols).drop(_KV)
 
 
 def validate_and_normalize(df: DataFrame) -> DataFrame:
