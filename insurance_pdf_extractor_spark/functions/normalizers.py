@@ -27,13 +27,40 @@ def _is_emptyish(col: Column) -> Column:
     return col.isNull() | (col == "") | (F.upper(col) == EMPTY_VALUE)
 
 
+def python_strip_expr(col: Column) -> Column:
+    """Python ``str.strip()`` equivalent — F.trim removes only spaces,
+    not tabs/newlines (a measured parity gap vs the reference)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+# Python float() literal grammar: optional sign; digit groups that may
+# be separated by single underscores; optional fraction/exponent; or
+# inf/infinity/nan (case-insensitive). Spark's string→double cast is
+# BOTH looser ('0D', '1F' type suffixes parse) and stricter (no
+# underscores), so a bare cast diverges from the reference's float().
+_PY_FLOAT_FINITE = r"^[+-]?(\d(_?\d)*(\.(\d(_?\d)*)?)?|\.\d(_?\d)*)([eE][+-]?\d(_?\d)*)?$"
+
+
+def python_float_expr(col: Column) -> Column:
+    """float(col) with CPython semantics: double when parseable by
+    Python's grammar, null otherwise."""
+    neg = col.rlike(r"^\s*-")
+    low = F.lower(python_strip_expr(col))
+    return (
+        F.when(low.rlike(r"^[+-]?inf(inity)?$"),
+               F.when(neg, F.lit(float("-inf"))).otherwise(F.lit(float("inf"))))
+        .when(low.rlike(r"^[+-]?nan$"), F.lit(float("nan")))
+        .when(col.rlike(_PY_FLOAT_FINITE), F.regexp_replace(col, "_", "").cast("double"))
+    )
+
+
 def normalize_date_expr(col: Column, formats: list[str] | None = None) -> Column:
     """F3 — ordered strptime cascade reformatted to MM/dd/yyyy, original
     on failure (app/models/extraction.py:134-161 /
     app/utils/validators.py:52-89). Order is semantic: MM/dd wins over
     dd/MM for ambiguous dates."""
     formats = formats or MODEL_SPARK_FORMATS
-    trimmed = F.trim(col)
+    trimmed = python_strip_expr(col)
     cascade = F.coalesce(
         *[F.date_format(F.to_date(trimmed, fmt), "MM/dd/yyyy") for fmt in formats],
         trimmed,
@@ -50,7 +77,7 @@ def validate_date_format_expr(col: Column) -> Column:
 def clean_currency_expr(col: Column) -> Column:
     """F5 — strip [$,\\s], parse float, null on failure
     (app/utils/validators.py:13-32)."""
-    cleaned = F.regexp_replace(col, r"[$,\s]", "").cast("double")
+    cleaned = python_float_expr(F.regexp_replace(col, r"[$,\s]", ""))
     return F.when(_is_emptyish(col), F.lit(None).cast("double")).otherwise(cleaned)
 
 
@@ -72,7 +99,7 @@ def clean_text_expr(col: Column) -> Column:
 
 def normalize_boolean_utils_expr(col: Column) -> Column:
     """F7 (wide mapping) — app/utils/validators.py:134-159."""
-    v = F.lower(F.trim(col))
+    v = python_strip_expr(F.lower(col))
     return (
         F.when(_is_emptyish(col), col)
         .when(v.isin(BOOL_INCLUDED), "Included")
@@ -104,8 +131,8 @@ def normalize_commission_expr(col: Column) -> Column:
     stripped value before its fallthrough `return v`, so unparseable
     non-empty input comes back stripped (property-tested vs the
     oracle)."""
-    v = F.regexp_replace(col, r"^\s+|\s+$", "")  # Python str.strip (all whitespace)
-    num = v.cast("double")
+    v = python_strip_expr(col)
+    num = python_float_expr(v)
     return F.when(col.isNull() | (col == EMPTY_VALUE) | (col == ""), col).otherwise(
         F.when(v.contains("%") | v.contains("$"), v)
         .when(num.isNotNull() & (num >= 0) & (num <= 100), F.concat(num.cast("string"), F.lit("%")))
@@ -115,7 +142,7 @@ def normalize_commission_expr(col: Column) -> Column:
 
 def validate_quote_number_expr(col: Column) -> Column:
     """F10 — nonempty + charset check (app/utils/validators.py:115-131)."""
-    t = F.trim(col)
+    t = python_strip_expr(col)
     return col.isNotNull() & (t != "") & t.rlike(r"^[A-Za-z0-9\-_\(\)\s]+$")
 
 
