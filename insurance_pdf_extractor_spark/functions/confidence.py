@@ -78,7 +78,10 @@ def estimated_cost_expr(
     p = MODEL_PRICING[base]
     in_c = F.col(input_tokens) if isinstance(input_tokens, str) else input_tokens
     out_c = F.col(output_tokens) if isinstance(output_tokens, str) else output_tokens
-    return F.round(in_c / 1000 * p["input"] + out_c / 1000 * p["output"], 6)
+    # bround = HALF_EVEN, matching Python round()'s banker's rounding
+    # (F.round is HALF_UP; diverges on exact .5 decimals, e.g. 314
+    # input tokens at $0.00125/1k -> 0.0003925)
+    return F.bround(in_c / 1000 * p["input"] + out_c / 1000 * p["output"], 6)
 
 
 def cost_breakdown_expr(
@@ -88,9 +91,9 @@ def cost_breakdown_expr(
     (app/services/pdf_processor.py:301-341)."""
     base = model_name if model_name in MODEL_PRICING else DEFAULT_MODEL
     p = MODEL_PRICING[base]
-    in_cost = F.round(input_tokens / 1000 * p["input"], 6)
-    out_cost = F.round(output_tokens / 1000 * p["output"], 6)
-    total = F.round(in_cost + out_cost, 6)
+    in_cost = F.bround(input_tokens / 1000 * p["input"], 6)
+    out_cost = F.bround(output_tokens / 1000 * p["output"], 6)
+    total = F.bround(in_cost + out_cost, 6)
     return F.struct(
         F.lit(base).alias("model_used"),
         input_tokens.alias("input_tokens"),
