@@ -96,12 +96,18 @@ Y_BIN_PT = 4.0
 # Oversized-document sharding threshold for skew defusal (north rule):
 # docs whose content exceeds this many bytes are split into page-range
 # shards before the tokenize stage and reassembled after layout.
-# Oversized-doc shard threshold. Sharding pays a fixed machinery cost
-# (chunk shuffle + per-doc merge, measured ~5-10 s for a 47 MB doc), so
-# it only wins wall-time for documents whose SERIAL kernel time exceeds
-# that — and it bounds executor memory (one doc = one Arrow batch
-# otherwise). 64 MB keeps the common path shard-free.
+# Sharding pays a machinery cost (chunk shuffle + per-doc merge,
+# measured ~5-10 s for a 47 MB doc), so it only wins wall-time for
+# documents whose SERIAL kernel time exceeds that — but it also bounds
+# executor memory (one doc = one Arrow batch otherwise) and caps
+# straggler-task latency. SHARD_SIZE_BYTES is the cap for callers that
+# raise max_size_bytes; the pipeline derives the EFFECTIVE threshold as
+# min(SHARD_SIZE_BYTES, max_size_bytes * SHARD_FRAC) so the shard path
+# is always reachable under the active size limit (with the default
+# 10 MB cap the threshold is 8 MB — a previous 64 MB-only default made
+# sharding dead code at default config).
 SHARD_SIZE_BYTES = 64 * 1024 * 1024
+SHARD_FRAC = 0.8
 SHARD_PAGES = 512
 
 EXTRACTOR_VERSION = "0.1.0"

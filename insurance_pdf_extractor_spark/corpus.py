@@ -77,6 +77,7 @@ class Doc:
     validation_errors: list[str] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
     status: str = "success"
+    info: dict | None = None           # embedded /Info dict ground truth (S3)
 
 
 def _esc(s: str) -> str:
@@ -96,10 +97,15 @@ def _split_parts(line: str, rng: random.Random) -> list[str]:
     return [p for p in parts if p]
 
 
-def _render_doc(pages: list[list[str]], rng: random.Random, pad_bytes: int = 0) -> tuple[bytes, dict]:
+def _render_doc(
+    pages: list[list[str]], rng: random.Random, pad_bytes: int = 0, info: dict | None = None
+) -> tuple[bytes, dict]:
     """Render logical pages to a content stream. Returns (content bytes,
     {(page, line_idx): min_byte_offset_of_its_runs})."""
     out = bytearray(b"%PDF-1.4\n")
+    if info:
+        body = " ".join(f"/{k} ({_esc(v)})" for k, v in info.items())
+        out += f"1 0 obj\n<< {body} >>\nendobj\n".encode()
     line_offsets: dict[tuple[int, int], int] = {}
     for pg_idx, lines in enumerate(pages):
         out += f"%%PAGE {pg_idx}\n".encode()
@@ -235,7 +241,21 @@ def generate_corpus(n_docs: int, seed: int = 7) -> list[Doc]:
             lines.append(f"Page {p + 1} of {n_pages}")
             pages.append(lines)
 
-        content, line_offsets = _render_doc(pages, rng, pad_bytes=pad)
+        # embedded /Info metadata (S3): rng-varied, including values that
+        # stress literal-string escaping; some docs carry none
+        info = None
+        if i % 5 != 4:
+            info = {
+                "Title": f"Quote {i} ({rng.choice(US_STATES)})",
+                "Author": rng.choice(["Underwriting Dept", "J. Doe (Agent)", "Ops\\Team"]),
+                "Subject": "Workers Compensation",
+                "Creator": "corpus-gen",
+                "Producer": f"writer {seed}.{i % 9}",
+                "CreationDate": f"D:202{i % 10}0{1 + i % 9}15120000",
+                "ModDate": f"D:202{i % 10}0{1 + i % 9}16090000",
+            }
+
+        content, line_offsets = _render_doc(pages, rng, pad_bytes=pad, info=info)
 
         # media interleave positions (distinct, non-colliding offsets)
         taken = set(line_offsets.values())
@@ -264,7 +284,7 @@ def generate_corpus(n_docs: int, seed: int = 7) -> list[Doc]:
         record, errors, warnings = oracle.validate_record(raw)
         status = "success" if not errors else "partial_success"
         docs.append(
-            Doc(doc_id, content, media, n_pages, spans, raw, record, errors, warnings, status)
+            Doc(doc_id, content, media, n_pages, spans, raw, record, errors, warnings, status, info)
         )
     return docs
 

@@ -12,8 +12,11 @@ Reproduces the reference's two-stage response parser
 - F2 ``manual_kv_scrape_expr``: fallback key-value scrape with the
   reference's two patterns (``"field": "value"`` then ``"field":
   value``), later pattern overwriting earlier entries the way the
-  reference's dict assignment does (gemini.py:268-282). Requires
-  ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session.py).
+  reference's dict assignment does (gemini.py:268-282). Last-win
+  semantics are encoded in the expression itself (reverse + keep first
+  occurrence per key) — no dependence on ``spark.sql.mapKeyDedupPolicy``,
+  so the expressions run identically on a vanilla session (the driver's
+  oracle harness uses the default EXCEPTION policy).
 
 Everything stays inside Catalyst — no UDF.
 """
@@ -53,6 +56,19 @@ def extract_json_cascade_expr(col: Column) -> Column:
     return F.coalesce(*[_strategy_expr(col, p) for p in JSON_PATTERNS])
 
 
+def first_win_entries(entries: Column) -> Column:
+    """Drop every entry whose key already appeared earlier in the array,
+    so ``map_from_entries`` sees unique keys regardless of the session's
+    ``spark.sql.mapKeyDedupPolicy``. O(n²) per row but the entry arrays
+    here are tiny (scraped labels / KV matches), and it stays fully
+    JVM-side."""
+    keys = F.transform(entries, lambda e: e["key"])
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(F.slice(keys, F.lit(1), i), lambda k: k == e["key"]),
+    )
+
+
 _KV_QUOTED = r'"?([a-zA-Z_]+)"?\s*:\s*"([^"]*)"'
 _KV_BARE = r'"?([a-zA-Z_]+)"?\s*:\s*([^,\n}]+)'
 
@@ -77,7 +93,9 @@ def manual_kv_scrape_expr(col: Column) -> Column:
     """F2 — fallback key-value scrape to map<string,string>; null when
     nothing matched (reference returns None, gemini.py:284)."""
     merged = F.concat(_kv_entries_expr(col, _KV_QUOTED), _kv_entries_expr(col, _KV_BARE))
-    m = F.map_from_entries(merged)  # LAST_WIN: pattern-2 overwrites, like the dict loop
+    # last-win like the reference's dict loop: reverse, keep the first
+    # occurrence per key — dedup is in the plan, not the session config
+    m = F.map_from_entries(first_win_entries(F.reverse(merged)))
     return F.when(F.size(merged) > 0, m)
 
 

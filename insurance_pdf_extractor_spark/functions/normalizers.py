@@ -4,8 +4,10 @@ Each builder reproduces one reference normalizer exactly (cited), so
 the whole field stage stays inside Catalyst whole-stage codegen — no
 Python in the hot path (north rule) and every op is vectorized JVM-side.
 
-Requires ``spark.sql.ansi.enabled=false`` (session.py): failed casts /
-date parses yield null, matching the reference's lenient semantics.
+Session-config independent: every parse uses ``try_to_date`` / guarded
+casts, so failed parses yield null (the reference's lenient semantics)
+under ANSI mode on or off — the driver's oracle harness runs a vanilla
+Spark 4 session with ANSI enabled.
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def normalize_date_expr(col: Column, formats: list[str] | None = None) -> Column
     formats = formats or MODEL_SPARK_FORMATS
     trimmed = python_strip_expr(col)
     cascade = F.coalesce(
-        *[F.date_format(F.to_date(trimmed, fmt), "MM/dd/yyyy") for fmt in formats],
+        *[F.date_format(F.try_to_date(trimmed, fmt), "MM/dd/yyyy") for fmt in formats],
         trimmed,
     )
     return F.when(col.isNull() | (col == "") | (col == EMPTY_VALUE), col).otherwise(cascade)

@@ -227,6 +227,11 @@ def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
             {"kind": "media", "text": None, "media_ref": m["media_ref"], "offset": int(m["offset"])}
             for m in media_raw
         )
-        spans.sort(key=lambda s: s["offset"])
+    # offset sort UNCONDITIONALLY, matching assemble_spans on the
+    # small-doc path: with non-monotonic explicit '%%PAGE n' numbering
+    # the (page, offset) lexsort above is not offset order, and the
+    # emitted sequence must not depend on which path a doc took
+    # (path-equivalence / parallelism invariant)
+    spans.sort(key=lambda s: s["offset"])
     size = int(pdf["size_bytes"].iloc[0]) if "size_bytes" in pdf.columns else None
     return pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "size_bytes": [size]})

@@ -20,6 +20,8 @@ Everything here is Catalyst-codegen'd column expressions — no UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,8 +49,11 @@ def doc_text_expr(spans: Column) -> Column:
 
 _LABELS_ALT = "|".join(
     # longest-first so prefix labels can't shadow (the ':' requirement
-    # already prevents wrong matches; ordering just avoids backtracking)
-    sorted((label for label, _f in FIELD_LABELS), key=len, reverse=True)
+    # already prevents wrong matches; ordering just avoids backtracking);
+    # escaped so a label gaining a regex metacharacter can't corrupt the
+    # alternation
+    re.escape(label)
+    for label in sorted((label for label, _f in FIELD_LABELS), key=len, reverse=True)
 )
 _SCRAPE_PAT = rf"(?m)^(?:{_LABELS_ALT}):[ \t]*.*$"
 _KV = "_label_kv"
@@ -64,9 +69,12 @@ def scrape_raw_fields(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     lookups in the resulting map — the per-field formulation (18
     regexp_extract + 18 rlike full-text scans per row) measured as
     ~half the whole results-stage cost. First occurrence of a repeated
-    label wins (reverse + LAST_WIN = first-win), matching
+    label wins (explicit first-win dedup in the expression — no
+    dependence on spark.sql.mapKeyDedupPolicy), matching
     regexp_extract's first-match semantics. Batched select projections,
     not withColumn chains (driver re-analysis cost)."""
+    from ..functions.json_extract import first_win_entries
+
     df = df.select("*", doc_text_expr(F.col(spans_col)).alias(DOC_TEXT))
     lines = F.regexp_extract_all(F.col(DOC_TEXT), F.lit(_SCRAPE_PAT), 0)
     entries = F.transform(
@@ -76,7 +84,7 @@ def scrape_raw_fields(df: DataFrame, spans_col: str = "spans") -> DataFrame:
             clean_text_expr(F.regexp_replace(l, r"^[^:]*:[ \t]*", "")).alias("value"),
         ),
     )
-    df = df.select("*", F.map_from_entries(F.reverse(entries)).alias(_KV))
+    df = df.select("*", F.map_from_entries(first_win_entries(entries)).alias(_KV))
     raw_cols = [
         F.element_at(F.col(_KV), F.lit(label)).alias(f"_raw_{fname}")
         for label, fname in FIELD_LABELS
@@ -164,7 +172,8 @@ def validate_and_normalize(df: DataFrame) -> DataFrame:
     # records
     eff, exp = F.col("policy_effective_date"), F.col("policy_expiration_date")
     both = (eff != EMPTY_VALUE) & (exp != EMPTY_VALUE)
-    d_eff, d_exp = F.to_date(eff, "MM/dd/yyyy"), F.to_date(exp, "MM/dd/yyyy")
+    d_eff = F.try_to_date(eff, "MM/dd/yyyy")
+    d_exp = F.try_to_date(exp, "MM/dd/yyyy")
     warning = F.when(
         ~has_error & both & d_eff.isNotNull() & d_exp.isNotNull() & (d_eff >= d_exp),
         F.lit("Policy effective date should be before expiration date"),

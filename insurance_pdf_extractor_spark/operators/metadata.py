@@ -1,0 +1,108 @@
+"""S3 — PDF metadata scan: document-info dictionary + basic file info.
+
+Re-expresses the reference's ``get_pdf_info``
+(app/services/pdf_processor.py:447-494): pypdf's ``reader.metadata``
+lookup of /Title /Author /Subject /Creator /Producer /CreationDate
+/ModDate (empty string when absent), plus num_pages / size_bytes /
+size_mb and the first-page text preview (first 500 chars of page-0
+extracted text, "No text extracted" when empty — pdf_processor.py:481).
+
+Exposed as a scalar ``pandas_udf`` over Arrow batches like the Stage-1
+tokenize kernel; no per-row Python at the Spark API level.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .layout import layout_lines
+from .tokenize import _FLAT, _SP, _unescape_str, count_pages, tokenize_content
+
+INFO_KEYS = [
+    ("Title", "title"),
+    ("Author", "author"),
+    ("Subject", "subject"),
+    ("Creator", "creator"),
+    ("Producer", "producer"),
+    ("CreationDate", "creation_date"),
+    ("ModDate", "modification_date"),
+]
+
+# /Key (flat literal string) pairs anywhere in the stream — the info
+# dictionary holds exactly this shape; first occurrence per key wins
+# (an Info dict has unique keys, so this only disambiguates hostile
+# input deterministically).
+_META_RE = re.compile(
+    rf"/(Title|Author|Subject|Creator|Producer|CreationDate|ModDate){_SP}*({_FLAT})"
+)
+
+PDF_INFO = T.StructType(
+    [
+        T.StructField("num_pages", T.IntegerType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+        T.StructField("size_mb", T.DoubleType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("author", T.StringType(), False),
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("creator", T.StringType(), False),
+        T.StructField("producer", T.StringType(), False),
+        T.StructField("creation_date", T.StringType(), False),
+        T.StructField("modification_date", T.StringType(), False),
+        T.StructField("first_page_preview", T.StringType(), False),
+        T.StructField("estimated_text_length", T.IntegerType(), False),
+    ]
+)
+
+
+def parse_info_dict(content: bytes) -> dict[str, str]:
+    """Info-dict values keyed by the reference's snake_case names,
+    '' for absent keys (pdf_processor.py:469-477 defaults)."""
+    out = {snake: "" for _k, snake in INFO_KEYS}
+    if not content:
+        return out
+    text = content.decode("latin-1")
+    seen: set[str] = set()
+    for m in _META_RE.finditer(text):
+        key = m.group(1)
+        if key in seen:
+            continue
+        seen.add(key)
+        snake = next(s for k, s in INFO_KEYS if k == key)
+        out[snake] = _unescape_str(m.group(2)[1:-1])
+    return out
+
+
+def pdf_info(content: bytes | None) -> dict:
+    """One document's full info record (reference get_pdf_info shape,
+    minus the dict-vs-flat nesting — columns are flattened)."""
+    b = content or b""
+    info = parse_info_dict(b)
+    runs = tokenize_content(b)
+    first_page = [t for p, _o, t in layout_lines(runs) if p == 0]
+    preview_src = "\n".join(first_page)
+    return {
+        "num_pages": count_pages(b),
+        "size_bytes": len(b),
+        "size_mb": round(len(b) / (1024 * 1024), 2),
+        **info,
+        "first_page_preview": preview_src[:500] if preview_src else "No text extracted",
+        "estimated_text_length": len(preview_src),
+    }
+
+
+@F.pandas_udf(PDF_INFO)
+def pdf_info_udf(content: pd.Series) -> pd.DataFrame:
+    """Vectorized S3 kernel: binary content → flattened info struct."""
+    rows = [pdf_info(None if c is None else bytes(c)) for c in content]
+    return pd.DataFrame(rows)
+
+
+def scan_pdf_info(raw: DataFrame, content_col: str = "content") -> DataFrame:
+    """documents_raw → (doc_id, info struct). Pure map stage — no
+    shuffle; inherits the caller's (salted) partitioning."""
+    return raw.select("doc_id", pdf_info_udf(F.col(content_col)).alias("info"))

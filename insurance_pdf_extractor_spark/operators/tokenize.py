@@ -69,21 +69,31 @@ def _decode(s: str) -> str:
 
 
 _FLAT = r"\((?:\\.|[^()\\])*\)"
-_NUM = r"[+-]?[\d.]+"
+# strict float grammar — float() can never raise on a match. A loose
+# [\d.]+ would match '12.5.6', which the interpreter/reference tiers
+# treat as an unparseable number token; the block path must NOT match
+# it (it falls back to the interpreter for the whole doc instead of
+# crashing the task on ValueError).
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+# inter-token whitespace EXACTLY as the reference parser's _WS set —
+# Python's \s additionally matches \x0b \x1c-\x1f \x85 \xa0, which are
+# NOT whitespace to the reference tier, and a fast-path match across
+# them would silently diverge from the interpreter (tier equivalence).
+_SP = r"[ \t\r\n\f\x00]"
 # one whole simple text block per C-level match: optional Tf, one
 # Td/Tm positioning, one Tj/TJ showing. This is the dominant shape in
 # rendered insurance documents; anything else falls back to the
 # token-level interpreter for the whole document.
 _BLOCK = re.compile(
     rf"""
-    BT\s+
-    (?: /[^\s()<>\[\]{{}}/%]*\s+{_NUM}\s+Tf\s+ )?
-    (?: ({_NUM})\s+({_NUM})\s+Td
-      | {_NUM}\s+{_NUM}\s+{_NUM}\s+{_NUM}\s+({_NUM})\s+({_NUM})\s+Tm
-    )\s+
-    (?: ({_FLAT})\s+Tj
-      | \[((?:\s|{_NUM}|{_FLAT})*)\]\s+TJ
-    )\s+
+    BT{_SP}+
+    (?: /[^ \t\r\n\f\x00()<>\[\]{{}}/%]*{_SP}+{_NUM}{_SP}+Tf{_SP}+ )?
+    (?: ({_NUM}){_SP}+({_NUM}){_SP}+Td
+      | {_NUM}{_SP}+{_NUM}{_SP}+{_NUM}{_SP}+{_NUM}{_SP}+({_NUM}){_SP}+({_NUM}){_SP}+Tm
+    ){_SP}+
+    (?: ({_FLAT}){_SP}+Tj
+      | \[((?:{_SP}|{_NUM}|{_FLAT})*)\]{_SP}+TJ
+    ){_SP}+
     ET
     """,
     re.X,
@@ -91,6 +101,17 @@ _BLOCK = re.compile(
 _FLAT_ALL = re.compile(_FLAT)
 _SKIP_WS = re.compile(r"[ \t\r\n\f\x00]*")
 _COMMENT = re.compile(r"[^\r\n]*")
+
+# A simple indirect object holding a dictionary of names/strings/numbers
+# (the /Info metadata shape). The fast path may SKIP it wholesale: such
+# a dict contains only operands — the interpreter/reference tiers push
+# them and clear at the 'endobj' keyword, emitting nothing and touching
+# no text state, so skipping is semantics-preserving. Anything fancier
+# (nested strings, arrays, streams) fails this match and falls back to
+# the interpreter for the whole doc, as usual.
+_INFO_OBJ = re.compile(
+    rf"\d+{_SP}+\d+{_SP}+obj{_SP}*<<(?:{_SP}|/[^ \t\r\n\f\x00()<>\[\]{{}}/%]*|{_FLAT}|{_NUM})*>>{_SP}*endobj"
+)
 
 
 def _unescape_str(s: str) -> str:
@@ -136,6 +157,10 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
             continue
         m = block(text, pos)
         if m is None:
+            mi = _INFO_OBJ.match(text, pos)
+            if mi is not None:  # metadata object: skip (no text runs)
+                pos = mi.end()
+                continue
             # non-template content: reparse the WHOLE doc with the
             # token-level interpreter (identical semantics, slower)
             return _tokenize_interpreter(content)

@@ -20,7 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import EXTRACTOR_VERSION, MAX_FILE_SIZE_BYTES, SHARD_PAGES, SHARD_SIZE_BYTES
+from ..constants import EXTRACTOR_VERSION, MAX_FILE_SIZE_BYTES, SHARD_PAGES
 from .pipeline import extract_documents
 
 CHECKPOINT_DIR = "checkpoint"
@@ -48,7 +48,7 @@ def run_extract_job(
     run_id: str,
     n_buckets: int = 32,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
-    shard_size_bytes: int = SHARD_SIZE_BYTES,
+    shard_size_bytes: int | None = None,
     shard_pages: int = SHARD_PAGES,
     source_files: list[str] | None = None,
     _limit_buckets: int | None = None,

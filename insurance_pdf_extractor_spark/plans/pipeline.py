@@ -31,9 +31,20 @@ from ..constants import (
     DEFAULT_MODEL,
     EMPTY_VALUE,
     MAX_FILE_SIZE_BYTES,
+    SHARD_FRAC,
     SHARD_PAGES,
     SHARD_SIZE_BYTES,
 )
+
+
+def effective_shard_size(max_size_bytes: int, shard_size_bytes: int | None) -> int:
+    """Resolve the shard threshold: an explicit value wins; otherwise
+    min(SHARD_SIZE_BYTES, max_size_bytes * SHARD_FRAC) so the oversized
+    path is reachable under whatever size cap is active (see
+    constants.py for the measured break-even rationale)."""
+    if shard_size_bytes is not None:
+        return shard_size_bytes
+    return min(SHARD_SIZE_BYTES, int(max_size_bytes * SHARD_FRAC))
 from ..operators.assemble import (
     extract_spans_udf,
     merge_sharded_lines,
@@ -65,7 +76,7 @@ def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) 
 def extract_documents(
     raw: DataFrame,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
-    shard_size_bytes: int = SHARD_SIZE_BYTES,
+    shard_size_bytes: int | None = None,
     shard_pages: int = SHARD_PAGES,
     partitions: int | None = None,
     presalted: bool = False,
@@ -92,7 +103,9 @@ def extract_documents(
     if not presalted:
         ok = ok.repartition(n_part, F.xxhash64("doc_id"))
 
-    sized = _extract_spans_sized(ok, shard_size_bytes, shard_pages)
+    sized = _extract_spans_sized(
+        ok, effective_shard_size(max_size_bytes, shard_size_bytes), shard_pages
+    )
     return sized.drop("size_bytes"), rejects
 
 
@@ -155,7 +168,7 @@ def _extract_spans_sized(
 def extract_results(
     raw: DataFrame,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
-    shard_size_bytes: int = SHARD_SIZE_BYTES,
+    shard_size_bytes: int | None = None,
     shard_pages: int = SHARD_PAGES,
     partitions: int | None = None,
     model_used: str = DEFAULT_MODEL,
@@ -178,7 +191,9 @@ def extract_results(
     salted = raw.repartition(n_part, F.xxhash64("doc_id"))
     classified = classify_rejects(salted, max_size_bytes)
     ok = classified.filter(F.col("reject_reason").isNull()).drop("reject_reason")
-    sized = _extract_spans_sized(ok, shard_size_bytes, shard_pages)
+    sized = _extract_spans_sized(
+        ok, effective_shard_size(max_size_bytes, shard_size_bytes), shard_pages
+    )
     results = build_results(sized, model_used=model_used, prompt_version=prompt_version)
 
     reject_stubs = (

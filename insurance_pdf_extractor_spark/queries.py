@@ -124,18 +124,24 @@ def q_daily_trends(spark, sf_dir):
     SELECT lang,
            count(*) AS total_occurrences,
            sum(CASE WHEN text IS NOT NULL AND n_chars > 250 THEN 1 ELSE 0 END) AS successful,
-           round(sum(CASE WHEN text IS NOT NULL AND n_chars > 250 THEN 1 ELSE 0 END) * 100.0
-                 / count(*), 2) AS success_rate
+           sum(CASE WHEN text IS NOT NULL AND n_chars > 250 THEN 1 ELSE 0 END) * 100.0
+                 / count(*) AS success_rate
     FROM documents GROUP BY lang
     """,
 )
 def q_field_success_rates(spark, sf_dir):
+    # success_rate at full double precision on BOTH sides: integer
+    # sum/count convert exactly to double and IEEE division is
+    # deterministic, so the hashes match bit-for-bit. round() does not —
+    # Spark rounds HALF_UP on the exact decimal expansion, DuckDB rounds
+    # the scaled binary double, and values like x.xx5 land on different
+    # sides (the round-1 A4 hash mismatch).
     d = _load(spark, sf_dir, "documents")
     ok = F.when(F.col("text").isNotNull() & (F.col("n_chars") > 250), 1).otherwise(0)
     return d.groupBy("lang").agg(
         F.count("*").alias("total_occurrences"),
         F.sum(ok).alias("successful"),
-        F.round(F.sum(ok) * 100.0 / F.count("*"), 2).alias("success_rate"),
+        (F.sum(ok) * 100.0 / F.count("*")).alias("success_rate"),
     )
 
 
@@ -824,14 +830,18 @@ def q_cost_prediction(spark, sf_dir):
     "failed_fields_regex",
     """
     SELECT o_orderkey,
-           list_sort(list_distinct(regexp_extract_all(
+           array_to_string(list_sort(list_distinct(regexp_extract_all(
              'validation failed for ''' || o_orderpriority || ''' and ''' || o_orderstatus
                || ''' (also ''' || o_orderpriority || ''')',
-             '''([^'']*)''', 1))) AS failed
+             '''([^'']*)''', 1))), ',') AS failed
     FROM orders WHERE o_orderkey % 17 = 0
     """,
 )
 def q_failed_fields_regex(spark, sf_dir):
+    # gate projection serializes the array (the driver canonicalizer
+    # sorts columns with pandas; Python lists are unhashable) — the
+    # DuckDB side mirrors with array_to_string, so this row is now a
+    # full value-hash check instead of a canonicalization error
     o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
     err = F.concat(
         F.lit("validation failed for '"), F.col("o_orderpriority"),
@@ -840,7 +850,8 @@ def q_failed_fields_regex(spark, sf_dir):
     )
     names = F.regexp_extract_all(err, F.lit(r"'([^']*)'"), 1)
     return o.select(
-        "o_orderkey", F.array_sort(F.array_distinct(names)).alias("failed")
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_distinct(names)), ",").alias("failed"),
     )
 
 
@@ -959,6 +970,54 @@ def q_windowed_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S3 — PDF metadata scan (app/services/pdf_processor.py:447-494): render
+# each document with a deterministic /Info dict derived from doc_id,
+# extract it back through the metadata kernel; the oracle recomputes the
+# same values (and the page count from the render geometry) directly
+# from the documents table, proving the embed→parse round trip.
+# ---------------------------------------------------------------------------
+@register(
+    "pdf_metadata",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ceil(greatest(ceil(nw / 10.0), 1) / 18.0) AS INT) AS num_pages,
+           'Document ' || CAST(doc_id AS VARCHAR) AS title,
+           'Author ' || CAST(doc_id AS VARCHAR) AS author,
+           'Insurance Quote' AS subject,
+           'spark-graft renderer' AS creator,
+           'content-stream-writer 0.1.0' AS producer,
+           'D:20240115103000' AS creation_date,
+           'D:20240116090000' AS modification_date
+    FROM g
+    """,
+)
+def q_pdf_metadata(spark, sf_dir):
+    from .operators.metadata import scan_pdf_info
+    from .sources.render import render_documents_raw
+
+    d = _load(spark, sf_dir, "documents")
+    raw = render_documents_raw(d)
+    info = scan_pdf_info(raw)
+    return info.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("info.num_pages").alias("num_pages"),
+        F.col("info.title").alias("title"),
+        F.col("info.author").alias("author"),
+        F.col("info.subject").alias("subject"),
+        F.col("info.creator").alias("creator"),
+        F.col("info.producer").alias("producer"),
+        F.col("info.creation_date").alias("creation_date"),
+        F.col("info.modification_date").alias("modification_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", None)
@@ -992,10 +1051,42 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+# ann_ivf with n_probe == n_centroids probes EVERY cell, which is
+# mathematically identical to exhaustive search — so the brute-force
+# DuckDB oracle value-checks the whole IVF machinery (centroid pick,
+# cell assignment, probed join, rerank) end-to-end.
+@register(
+    "ann_ivf_exhaustive",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+    return out.select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 @register("simhash_near_dup_pairs", None)
 def q_simhash_pairs(spark, sf_dir):
+    # max_hamming=3 — the range where 4×16-bit chunk blocking GUARANTEES
+    # recall by pigeonhole (dedup.py); higher thresholds are possible but
+    # approximate-recall, so the gate demos the guaranteed regime
     d = _load(spark, sf_dir, "documents").limit(300)
-    return dedup.simhash_near_dup_pairs(d, max_hamming=20)
+    return dedup.simhash_near_dup_pairs(d, max_hamming=3)
 
 
 @register("embedding_near_dup_lsh", None)
@@ -1015,7 +1106,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     hashed = d.select("doc_id", tq.token_hashes_expr(F.col("text")).alias("h"))
     grams = hashed.select("doc_id", tq.kgram_hashes_expr(F.col("h"), k=5).alias("g"))
     return grams.select(
-        "doc_id", tq.winnow_fingerprints_expr(F.col("g"), window=4).alias("fingerprints")
+        "doc_id",
+        # serialized for the driver canonicalizer (lists are unhashable
+        # in its pandas sort); the fingerprint SET is still fully encoded
+        F.array_join(
+            tq.winnow_fingerprints_expr(F.col("g"), window=4), ","
+        ).alias("fingerprints"),
     )
 
 
@@ -1035,7 +1131,20 @@ def q_media_features(spark, sf_dir):
         F.lit(64).alias("height"),
         F.lit(0).cast("long").alias("duration_ms"),
     )
-    return extract_media_features(assets)
+    feats = extract_media_features(assets)
+    # fixed-format serialization of the float vector ("%.6f" is printf
+    # semantics on both JVM and any reimplementation) — scalar columns
+    # only, so the driver canonicalizer can sort/hash the frame
+    return feats.select(
+        "media_ref",
+        "kind",
+        "n_bytes",
+        "sha1",
+        F.array_join(
+            F.transform(F.col("features"), lambda v: F.format_string("%.6f", v.cast("double"))),
+            ",",
+        ).alias("features"),
+    )
 
 
 @register("extract_pipeline_spans", None)

@@ -2,10 +2,12 @@
 
 Notable choices:
 
-- ``spark.sql.ansi.enabled=false``: the reference's normalizers return
-  null/passthrough on unparseable input (app/utils/validators.py:26-32);
-  Spark 4's default ANSI mode would raise instead, so we keep the
-  lenient cast semantics.
+- NO semantic configs: ANSI mode and mapKeyDedupPolicy are left at the
+  Spark 4 defaults on purpose. Every expression in the engine is
+  session-config independent (try_to_date, guarded casts, explicit
+  map-key dedup), so it behaves identically under the driver's vanilla
+  oracle-harness session — round-1 gate errors came from relying on
+  session overrides here.
 - AQE on: runtime partition coalescing + skew-join splitting are the
   first line of defense against skewed document sizes; explicit salting
   in plans/pipeline.py is the second (north rule).
@@ -41,7 +43,6 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # byte-bound Arrow batches BOTH directions: a row is a whole
@@ -51,10 +52,6 @@ def build_session(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxBytesPerOutputBatch", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # manual_kv_scrape_expr builds a map where a later scrape
-        # pattern overwrites earlier keys, like the reference's dict
-        # assignment loop (app/services/gemini.py:276-282)
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

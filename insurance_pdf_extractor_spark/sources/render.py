@@ -28,13 +28,36 @@ def _esc(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def render_text(doc_id: str, text: str) -> tuple[bytes, int]:
+def default_metadata(doc_id: str) -> dict[str, str]:
+    """Deterministic per-doc info-dict values, derivable from doc_id
+    alone (so a SQL oracle can recompute them and value-check the
+    embed→parse round trip)."""
+    return {
+        "Title": f"Document {doc_id}",
+        "Author": f"Author {doc_id}",
+        "Subject": "Insurance Quote",
+        "Creator": "spark-graft renderer",
+        "Producer": "content-stream-writer 0.1.0",
+        "CreationDate": "D:20240115103000",
+        "ModDate": "D:20240116090000",
+    }
+
+
+def info_obj_bytes(meta: dict[str, str]) -> bytes:
+    """PDF-style document information dictionary as an indirect object
+    (the shape pypdf's reader.metadata reads; ref
+    app/services/pdf_processor.py:466-477)."""
+    body = " ".join(f"/{k} ({_esc(v)})" for k, v in meta.items())
+    return f"1 0 obj\n<< {body} >>\nendobj\n".encode()
+
+
+def render_text(doc_id: str, text: str, meta: dict[str, str] | None = None) -> tuple[bytes, int]:
     words = (text or "").split()
     lines = [
         " ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)
     ] or [""]
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
-    out = [b"%PDF-1.4\n"]
+    out = [b"%PDF-1.4\n", info_obj_bytes(meta if meta is not None else default_metadata(doc_id))]
     for pg, pg_lines in enumerate(pages):
         out.append(f"%%PAGE {pg}\n".encode())
         out.append(f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode())

@@ -16,8 +16,9 @@ The job is resumable: re-running with the same --run-id and --output
 processes only buckets missing from the checkpoint table
 (plans/checkpoint.py). The master is NOT hard-coded — spark-submit
 --master / cluster deploy mode decides; session settings that matter
-for the workload (AQE, Arrow batching, lenient casts) are applied as
-conf defaults only if unset.
+for the workload (AQE, Arrow batching) are applied as conf defaults
+only if unset; engine expressions are session-config independent (no
+ANSI / mapKeyDedupPolicy overrides needed).
 """
 
 from __future__ import annotations
@@ -40,13 +41,11 @@ def build_cluster_session(app_name: str) -> SparkSession:
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.ansi.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
         "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.maxBytesPerOutputBatch": str(64 * 1024 * 1024),
-        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     }.items():
         b = b.config(k, v)
     return b.getOrCreate()
@@ -62,7 +61,6 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--shard-size-bytes", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from insurance_pdf_extractor_spark.constants import SHARD_SIZE_BYTES
     from insurance_pdf_extractor_spark.plans.checkpoint import run_extract_job
 
     spark = build_cluster_session(f"extract-{args.run_id}")
@@ -73,7 +71,7 @@ def main(argv: list[str] | None = None) -> None:
         run_id=args.run_id,
         n_buckets=args.buckets,
         max_size_bytes=int(args.max_size_mb * 1024 * 1024),
-        shard_size_bytes=args.shard_size_bytes or SHARD_SIZE_BYTES,
+        shard_size_bytes=args.shard_size_bytes,
         source_files=[args.input],
     )
     print(json.dumps(stats))

@@ -1,0 +1,108 @@
+"""S3 — PDF metadata scan parity tests.
+
+Reference behavior re-expressed: get_pdf_info
+(app/services/pdf_processor.py:447-494) — /Info dict keys with ''
+defaults, num_pages/size fields, first-page preview capped at 500
+chars with the 'No text extracted' fallback.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from insurance_pdf_extractor_spark.corpus import generate_corpus
+from insurance_pdf_extractor_spark.operators.metadata import (
+    parse_info_dict,
+    pdf_info,
+    scan_pdf_info,
+)
+from insurance_pdf_extractor_spark.sources.render import (
+    default_metadata,
+    render_text,
+)
+
+_KEYMAP = {
+    "Title": "title",
+    "Author": "author",
+    "Subject": "subject",
+    "Creator": "creator",
+    "Producer": "producer",
+    "CreationDate": "creation_date",
+    "ModDate": "modification_date",
+}
+
+
+def test_corpus_info_round_trip(corpus_docs):
+    """Every embedded /Info value (incl. escaped parens/backslashes)
+    parses back exactly; docs without an info object yield '' defaults."""
+    n_with = n_without = 0
+    for d in corpus_docs:
+        got = parse_info_dict(d.content)
+        if d.info:
+            n_with += 1
+            for k, snake in _KEYMAP.items():
+                assert got[snake] == d.info[k], (d.doc_id, k)
+        else:
+            n_without += 1
+            assert all(v == "" for v in got.values())
+    assert n_with > 0 and n_without > 0  # both cases exercised
+
+
+def test_render_metadata_round_trip():
+    content, _n = render_text("99", "alpha beta " * 50)
+    got = parse_info_dict(content)
+    exp = default_metadata("99")
+    for k, snake in _KEYMAP.items():
+        assert got[snake] == exp[k]
+
+
+def test_pdf_info_fields():
+    content, n_pages = render_text("7", "word " * 700)  # 70 lines -> 4 pages
+    info = pdf_info(content)
+    assert info["num_pages"] == n_pages == 4
+    assert info["size_bytes"] == len(content)
+    assert info["size_mb"] == round(len(content) / (1024 * 1024), 2)
+    assert info["first_page_preview"].startswith("Document 7\n")
+    assert len(info["first_page_preview"]) <= 500
+    assert info["estimated_text_length"] >= 500  # preview is the capped prefix
+
+
+def test_pdf_info_empty_and_textless():
+    assert pdf_info(None)["first_page_preview"] == "No text extracted"
+    assert pdf_info(b"")["num_pages"] == 0
+    info = pdf_info(b"%PDF-1.4\n%%PAGE 0\n")  # page marker, no text runs
+    assert info["num_pages"] == 1
+    assert info["first_page_preview"] == "No text extracted"
+    assert info["estimated_text_length"] == 0
+
+
+def test_info_obj_does_not_break_fast_path_or_spans(corpus_docs):
+    """The metadata object must be invisible to the text tiers: fast
+    path (which skips it) and reference parser (which consumes it as
+    dead operands) emit identical runs."""
+    from insurance_pdf_extractor_spark.operators import tokenize as tk
+
+    for d in corpus_docs[:40]:
+        assert tk.tokenize_content(d.content) == tk.tokenize_content_reference(d.content)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_parse_never_crashes(b):
+    out = parse_info_dict(b"%PDF-1.4\n" + b)
+    assert set(out) == set(_KEYMAP.values())
+
+
+def test_scan_pdf_info_spark(spark, corpus_docs):
+    """End-to-end Spark stage: raw corpus -> info struct rows match the
+    pure-Python per-doc computation."""
+    from insurance_pdf_extractor_spark.corpus import to_raw_df
+
+    docs = corpus_docs[:30]
+    raw = to_raw_df(spark, docs)
+    rows = {r["doc_id"]: r["info"].asDict() for r in scan_pdf_info(raw).collect()}
+    assert len(rows) == len(docs)
+    for d in docs:
+        exp = pdf_info(d.content)
+        got = rows[d.doc_id]
+        assert got == exp, (d.doc_id, got, exp)

@@ -66,6 +66,25 @@ _piece = st.one_of(
             "q 1 0 0 1 5 5 cm Q\n",  # unknown operators with operands
             "BT\n(orphan string) ET\n",  # show-less block
             ") stray\n",
+            # malformed number tokens: float() must not crash any tier
+            # and all tiers must agree (round-1 advisory: the block fast
+            # path floated '[\\d.]+' matches like 12.5.6)
+            "BT\n12.5.6 7 Td\n(x) Tj\nET\n",
+            "BT\n-.+. 5 Td\n(y) Tj\nET\n",
+            "BT\n1. .5 Td\n(z) Tj\nET\n",
+            # Python-\s-but-not-PDF-whitespace bytes between tokens: the
+            # fast path must not treat \x0b \x1c \x85 \xa0 as separators
+            # (reference tier _WS is [ \t\r\n\f\x00] only)
+            "BT 1\x0b2 Td (w) Tj ET\n",
+            "BT\x851 2 Td (v) Tj ET\n",
+            "BT\n1\xa02 Td\n(u) Tj\nET\n",
+            "BT\n1\x1c2 Td\n(t) Tj\nET\n",
+            "BT\x001\x002 Td\x00(s) Tj\x00ET\n",  # NUL IS reference whitespace
+            # /Info metadata objects: fast path skips, other tiers
+            # consume as dead operands — must be equivalent
+            "1 0 obj\n<< /Title (T \\(x\\)) /Author (A) /N 3 >>\nendobj\n",
+            "2 0 obj << /Title ((nested)) >> endobj\n",  # nested str → fallback
+            "3 0 obj\n<< /Producer (p\\\\q) /CreationDate (D:2024) >>\nendobj\n",
         ]
     ),
 )

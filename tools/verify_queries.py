@@ -3,6 +3,16 @@
 the same sf dir; compare row count, column names, and order-insensitive
 values.
 
+Mirrors the driver harness deliberately:
+
+- VANILLA SparkSession (no engine session.py configs — Spark 4 default
+  ANSI mode, default mapKeyDedupPolicy), because the driver builds its
+  own session; round-1 had 3 gate rows fail only under the driver's
+  config.
+- ``toPandas()`` + ``sort_values`` canonicalization, so array-typed
+  output columns raise the same "unhashable type: 'list'" the driver
+  hits.
+
 Usage: python tools/verify_queries.py [sf_dir] [query ...]
 """
 
@@ -42,9 +52,17 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
-    from insurance_pdf_extractor_spark.session import build_session
+    from pyspark.sql import SparkSession
 
-    spark = build_session(app_name="verify", master="local[8]", shuffle_partitions=8)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +75,12 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            # driver-style canonicalization: toPandas + sort by every
+            # column (raises on unhashable cells, like the driver)
+            pdf = sdf.toPandas()
+            pdf = pdf[sorted(pdf.columns)]
+            if len(pdf):
+                pdf.sort_values(by=list(pdf.columns))
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as ex:
