@@ -37,6 +37,26 @@ def register(name: str, oracle_sql: str | None = None):
     return deco
 
 
+# Expected-value fixtures for queries whose computation is not
+# SQL-expressible (xxhash64-derived fingerprints, LSH buckets, the span
+# pipeline). tools/make_fixtures.py recomputes each result with an
+# INDEPENDENT pure-Python implementation (oracle_xxh.XXH64, the logical
+# render/boilerplate oracle, sequential-fold cosine) over the sf0.01
+# tables and writes parquet; the oracle is then a plain scan. Regenerate
+# with `python tools/make_fixtures.py` whenever render/boilerplate/hash
+# semantics change.
+import os as _os
+
+_FIXTURES_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures")
+
+
+def _fx(name: str) -> str | None:
+    path = _os.path.join(_FIXTURES_DIR, f"fx_{name}.parquet")
+    if not _os.path.exists(path):  # fixture not generated -> rows-only
+        return None
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 # ---------------------------------------------------------------------------
 # A1 — global multi-agg (app/services/storage.py:442-458)
 # ---------------------------------------------------------------------------
@@ -1020,7 +1040,7 @@ def q_pdf_metadata(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
-@register("minhash_lsh_pairs", None)
+@register("minhash_lsh_pairs", _fx("minhash_lsh_pairs"))
 def q_minhash_pairs(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     # documents are all-distinct random text; lower threshold surfaces
@@ -1028,20 +1048,22 @@ def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, min_jaccard=0.2)
 
 
-@register("simhash_fingerprints", None)
+@register("simhash_fingerprints", _fx("simhash_fingerprints"))
 def q_simhash(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents").limit(200)
+    # doc_id filter, not limit(): the input subset must be deterministic
+    # for the fixture oracle (limit takes whatever rows arrive first)
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", dedup.simhash_expr(F.col("text")).alias("simhash"))
 
 
-@register("ann_lsh_topk", None)
+@register("ann_lsh_topk", _fx("ann_lsh_topk"))
 def q_ann_lsh(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(emb, queries, k=10, n_planes=6)
 
 
-@register("ann_ivf_topk", None)
+@register("ann_ivf_topk", _fx("ann_ivf_topk"))
 def q_ann_ivf(spark, sf_dir):
     """IVF-cell ANN: no-shuffle cell assignment (one matmul per Arrow
     batch vs driver-collected centroids), probe n nearest cells, exact
@@ -1080,16 +1102,16 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     return out.select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
-@register("simhash_near_dup_pairs", None)
+@register("simhash_near_dup_pairs", _fx("simhash_near_dup_pairs"))
 def q_simhash_pairs(spark, sf_dir):
     # max_hamming=3 — the range where 4×16-bit chunk blocking GUARANTEES
     # recall by pigeonhole (dedup.py); higher thresholds are possible but
     # approximate-recall, so the gate demos the guaranteed regime
-    d = _load(spark, sf_dir, "documents").limit(300)
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup.simhash_near_dup_pairs(d, max_hamming=3)
 
 
-@register("embedding_near_dup_lsh", None)
+@register("embedding_near_dup_lsh", _fx("embedding_near_dup_lsh"))
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: LSH-bucketed candidates (vs the
     exact threshold join in embedding_near_dup_exact)."""
@@ -1097,12 +1119,12 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
 
 
-@register("winnow_fingerprints", None)
+@register("winnow_fingerprints", _fx("winnow_fingerprints"))
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing) document fingerprints; xxhash64 token
     hashes are Spark-specific, so this is rows-only (the algorithm is
     value-tested against a pure-Python oracle in tests)."""
-    d = _load(spark, sf_dir, "documents").limit(300)
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     hashed = d.select("doc_id", tq.token_hashes_expr(F.col("text")).alias("h"))
     grams = hashed.select("doc_id", tq.kgram_hashes_expr(F.col("h"), k=5).alias("g"))
     return grams.select(
@@ -1115,13 +1137,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
-@register("media_features", None)
+@register("media_features", _fx("media_features"))
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as opaque media payloads →
     mapInPandas feature extraction (deterministic fake decoder)."""
     from .operators.multimodal import extract_media_features
 
-    d = _load(spark, sf_dir, "documents").limit(100)
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     assets = d.select(
         F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("image").alias("kind"),
@@ -1147,7 +1169,7 @@ def q_media_features(spark, sf_dir):
     )
 
 
-@register("extract_pipeline_spans", None)
+@register("extract_pipeline_spans", _fx("extract_pipeline_spans"))
 def q_extract_pipeline(spark, sf_dir):
     """Flagship span pipeline on a corpus deterministically derived from
     the shared documents table: each row's text is rendered into a

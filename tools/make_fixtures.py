@@ -1,0 +1,471 @@
+"""Generate expected-value parquet fixtures for the non-SQL-expressible
+gate queries, using INDEPENDENT pure-Python reimplementations:
+
+- ``oracle_xxh.xxh64`` (spec XXH64, validated against F.xxhash64) for
+  every hash-derived operator (MinHash banding, SimHash, winnowing),
+- the logical render/boilerplate oracle for the span pipeline (mirrors
+  sources/render.py geometry + oracle.boilerplate_keys, NOT the Spark
+  tokenizer),
+- sequential-left-fold cosine arithmetic matching the engine's
+  ``aggregate(zip_with(...))`` expression bit-for-bit,
+- Spark-``round`` semantics (BigDecimal HALF_UP on the shortest decimal
+  repr) where the engine rounds.
+
+Each fixture holds the exact expected result frame of one queries.py
+entry over /root/testdata/sf0.01; queries.py registers
+``SELECT * FROM read_parquet(<fixture>)`` as the DuckDB oracle.
+
+Usage: python tools/make_fixtures.py [sf_dir] [out_dir]
+Regenerate whenever render/boilerplate/hash semantics change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from insurance_pdf_extractor_spark import oracle
+from insurance_pdf_extractor_spark.oracle_xxh import xxh64, xxh64_signed
+
+P31 = 2147483647          # shared Mersenne modulus (dedup/text_quality)
+WINNOW_B = 1_000_003
+
+# ---------------------------------------------------------------------------
+# Spark-semantics helpers
+# ---------------------------------------------------------------------------
+
+
+def spark_round(x: float, scale: int) -> float:
+    """F.round(double, s): BigDecimal.valueOf(d) (shortest decimal repr,
+    same as Python repr) setScale(s, HALF_UP)."""
+    return float(Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP))
+
+
+def javafmt6(x: float) -> str:
+    """Java String.format("%%.6f", d): HALF_UP on the exact decimal
+    expansion — Python's %.6f rounds half-even (0.4765625 formats as
+    ...562 in Python, ...563 in Java)."""
+    return f"{Decimal(repr(float(x))).quantize(Decimal('0.000001'), ROUND_HALF_UP):.6f}"
+
+
+def norm_text(t: str) -> str:
+    """dedup.normalize_text_expr: lower(trim(regexp_replace(\\s+, ' ')))
+    with JAVA \\s = [ \\t\\n\\x0b\\f\\r] and trim = spaces only."""
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip(" ").lower()
+
+
+def words(t: str) -> list[str]:
+    return norm_text(t).split(" ")
+
+
+def fold_dot(a, b) -> float:
+    """dot_expr: left fold of per-element double products."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def cosine(a, b) -> float:
+    return fold_dot(a, b) / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b)))
+
+
+def pmod31(v: int) -> int:
+    return v % P31  # Python % floors; equals Spark pmod for positive modulus
+
+
+# ---------------------------------------------------------------------------
+# hash-pipeline oracles
+# ---------------------------------------------------------------------------
+
+
+def token_hashes31(t: str) -> list[int]:
+    return [pmod31(xxh64_signed(w)) for w in words(t)]
+
+
+def kgram_hashes(h: list[int], k: int) -> list[int]:
+    if len(h) < k:
+        return []
+    coeffs = [pow(WINNOW_B, k - 1 - j, P31) for j in range(k)]
+    n = len(h) - k + 1
+    return [sum(h[i + j] * coeffs[j] % P31 for j in range(k)) % P31 for i in range(n)]
+
+
+def winnow(grams: list[int], window: int) -> list[int]:
+    if not grams:
+        return []
+    if len(grams) < window:
+        return sorted({min(grams)})
+    mins = [min(grams[i : i + window]) for i in range(len(grams) - window + 1)]
+    return sorted(set(mins))
+
+
+def minhash_sig(t: str, k: int = 3, n_hashes: int = 64) -> list[int]:
+    h = token_hashes31(t)
+    grams = kgram_hashes(h, k)
+    if not grams:
+        return [P31] * n_hashes
+    A = [(i * 2 + 1) % P31 for i in range(n_hashes)]
+    B = [(i * 0x9E3779B9) % P31 for i in range(n_hashes)]
+    return [min((g * A[i] + B[i]) % P31 for g in grams) for i in range(n_hashes)]
+
+
+def simhash(t: str) -> int:
+    toks = words(t)
+    if not toks:
+        return 0
+    ones = [0] * 64
+    for w in toks:
+        u = xxh64(w.encode("utf-8"))
+        for b in range(64):
+            ones[b] += (u >> b) & 1
+    n = len(toks)
+    fp = 0
+    for b in range(64):
+        if 2 * ones[b] - n > 0:
+            fp |= 1 << b
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+# ---------------------------------------------------------------------------
+# span-pipeline oracle (mirrors sources/render.py geometry; the
+# boilerplate rule comes from oracle.boilerplate_keys — the engine's
+# tokenizer/layout/strip kernels are never invoked here)
+# ---------------------------------------------------------------------------
+
+WORDS_PER_LINE = 10
+LINES_PER_PAGE = 18
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def expected_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]]:
+    """(kind, text, media_ref, offset) sequence the pipeline must emit
+    for one rendered document."""
+    from insurance_pdf_extractor_spark.sources.render import default_metadata
+
+    ws = (text or "").split()
+    lines = [
+        " ".join(ws[i : i + WORDS_PER_LINE]) for i in range(0, len(ws), WORDS_PER_LINE)
+    ] or [""]
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    n_pages = len(pages)
+
+    meta = default_metadata(doc_id)
+    body = " ".join(f"/{k} ({_esc(v)})" for k, v in meta.items())
+    out = bytearray(b"%PDF-1.4\n")
+    out += f"1 0 obj\n<< {body} >>\nendobj\n".encode()
+
+    logical_pages: list[list[str]] = []
+    line_records: list[tuple[int, str, int]] = []  # (page, text, offset)
+    for pg, pg_lines in enumerate(pages):
+        logical: list[str] = []
+        out += f"%%PAGE {pg}\n".encode()
+        title = f"Document {doc_id}"
+        block = f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n({_esc(title)}) Tj\nET\n".encode()
+        line_records.append((pg, title, len(out) + block.index(b"(")))
+        logical.append(title)
+        out += block
+        y = 740.0
+        for line in pg_lines:
+            block = f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode()
+            line_records.append((pg, line, len(out) + block.index(b"(")))
+            logical.append(line)
+            out += block
+            y -= 20.0
+        footer = f"Page {pg + 1} of {n_pages}"
+        block = f"BT\n72.0 {y:.1f} Td\n({_esc(footer)}) Tj\nET\n".encode()
+        line_records.append((pg, footer, len(out) + block.index(b"(")))
+        logical.append(footer)
+        out += block
+        logical_pages.append(logical)
+
+    strip = oracle.boilerplate_keys(logical_pages) if n_pages >= 2 else set()
+    spans = [
+        ("text", txt, None, off)
+        for _pg, txt, off in line_records
+        if oracle.normalize_line(txt) not in strip
+    ]
+    spans.sort(key=lambda s: s[3])
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# fixture builders
+# ---------------------------------------------------------------------------
+
+
+def load_documents(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def load_embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    return sorted(zip(ids, vecs), key=lambda p: p[0])
+
+
+def fx_extract_pipeline_spans(docs) -> pa.Table:
+    rows = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+    for doc_id, text in docs:
+        for order, (kind, txt, mref, off) in enumerate(expected_spans(str(doc_id), text)):
+            rows["doc_id"].append(str(doc_id))
+            rows["order"].append(order)
+            rows["kind"].append(kind)
+            rows["text"].append(txt)
+            rows["media_ref"].append(mref)
+            rows["offset"].append(off)
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "order": pa.array(rows["order"], pa.int32()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "offset": pa.array(rows["offset"], pa.int32()),
+        }
+    )
+
+
+def fx_winnow(docs) -> pa.Table:
+    ids, fps = [], []
+    for doc_id, text in docs:
+        if doc_id >= 300:
+            continue
+        fp = winnow(kgram_hashes(token_hashes31(text), 5), 4)
+        ids.append(doc_id)
+        fps.append(",".join(str(v) for v in fp))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "fingerprints": pa.array(fps, pa.string())})
+
+
+def fx_simhash_fingerprints(docs) -> pa.Table:
+    ids = [d for d, _t in docs if d < 200]
+    fps = [simhash(t) for d, t in docs if d < 200]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(fps, pa.int64())})
+
+
+def fx_simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:
+    sub = [(d, simhash(t)) for d, t in docs if d < 300]
+    ia, ib, ham = [], [], []
+    for x in range(len(sub)):
+        for y in range(x + 1, len(sub)):
+            (da, fa), (db, fb) = sub[x], sub[y]
+            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                ia.append(min(da, db))
+                ib.append(max(da, db))
+                ham.append(h)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "hamming": pa.array(ham, pa.int32()),
+        }
+    )
+
+
+def fx_minhash_pairs(docs, n_hashes=64, bands=16, k=3, min_jaccard=0.2) -> pa.Table:
+    rpb = n_hashes // bands
+    sigs = {d: minhash_sig(t, k, n_hashes) for d, t in docs}
+    wsets = {d: set(words(t)) for d, t in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = xxh64_signed(",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb]))
+            buckets.setdefault((b, key), []).append(d)
+    cands: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cands.add((members[x], members[y]))
+    ia, ib, jc = [], [], []
+    for a, b in sorted(cands):
+        inter = len(wsets[a] & wsets[b])
+        union = len(wsets[a] | wsets[b])
+        jac = inter / union if union > 0 else 0.0
+        if jac >= min_jaccard:
+            ia.append(a)
+            ib.append(b)
+            jc.append(spark_round(jac, 6))
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "jaccard": pa.array(jc, pa.float64()),
+        }
+    )
+
+
+def fx_media_features(docs) -> pa.Table:
+    refs, kinds, nb, shas, feats = [], [], [], [], []
+    for doc_id, text in docs:
+        if doc_id >= 100:
+            continue
+        payload = text.encode("utf-8")
+        refs.append(f"m-{doc_id}")
+        kinds.append("image")
+        nb.append(len(payload))
+        shas.append(hashlib.sha1(payload).hexdigest())
+        if payload:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+            total = float(hist.sum()) or 1.0
+            vec = (hist / total).astype(np.float32).tolist()
+        else:
+            vec = [0.0] * 16
+        feats.append(",".join(javafmt6(float(v)) for v in vec))
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "sha1": pa.array(shas, pa.string()),
+            "features": pa.array(feats, pa.string()),
+        }
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).round(6).tolist()
+
+
+def _lsh_bucket(vec, planes) -> int:
+    sig = 0
+    for i, plane in enumerate(planes):
+        if fold_dot(vec, plane) > 0:
+            sig |= 1 << i
+    return sig
+
+
+def _topk_rows(cands_per_query, k=10):
+    """cands_per_query: {query_id: [(cand_id, vec), ...]} plus query vec
+    lookup done by caller; here we get scored lists."""
+    out = []
+    for qid in sorted(cands_per_query):
+        scored = cands_per_query[qid]
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for rank, (cid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, cid, cos, rank))
+    return out
+
+
+def fx_ann_lsh(embs, n_planes=6, k=10) -> pa.Table:
+    dim = len(embs[0][1])
+    planes = _hyperplanes(dim, n_planes)
+    buckets = {vid: _lsh_bucket(vec, planes) for vid, vec in embs}
+    queries = [(vid, vec) for vid, vec in embs if vid < 3]
+    per_q = {}
+    for qid, qvec in queries:
+        qb = buckets[qid]
+        scored = [
+            (vid, spark_round(cosine(qvec, vec), 6))
+            for vid, vec in embs
+            if buckets[vid] == qb and vid != qid
+        ]
+        per_q[qid] = scored
+    rows = _topk_rows(per_q, k)
+    return _topk_table(rows)
+
+
+def _topk_table(rows) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cand_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int32()),
+        }
+    )
+
+
+def fx_ann_ivf(embs, n_centroids=16, n_probe=4, k=10) -> pa.Table:
+    # _pick_centroids: lowest (xxhash64(str(id)), id), driver order
+    order = sorted(embs, key=lambda p: (xxh64_signed(str(p[0])), p[0]))[:n_centroids]
+    C = np.asarray([v.tolist() for _i, v in order], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    E = np.asarray([v.tolist() for _i, v in embs], dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    sims = En @ C.T
+    top = np.argsort(-sims, axis=1, kind="stable")
+    primary = {embs[i][0]: int(top[i, 0]) for i in range(len(embs))}
+    probes = {embs[i][0]: [int(c) for c in top[i, :n_probe]] for i in range(len(embs))}
+    queries = [(vid, vec) for vid, vec in embs if vid < 3]
+    per_q = {}
+    for qid, qvec in queries:
+        cells = set(probes[qid])
+        scored = [
+            (vid, spark_round(cosine(qvec, vec), 6))
+            for vid, vec in embs
+            if primary[vid] in cells and vid != qid
+        ]
+        per_q[qid] = scored
+    return _topk_table(_topk_rows(per_q, k))
+
+
+def fx_embedding_near_dup_lsh(embs, threshold=0.4, n_planes=4) -> pa.Table:
+    dim = len(embs[0][1])
+    planes = _hyperplanes(dim, n_planes)
+    buckets = {vid: _lsh_bucket(vec, planes) for vid, vec in embs}
+    ia, ib, cs = [], [], []
+    for x in range(len(embs)):
+        for y in range(x + 1, len(embs)):
+            (da, va), (db, vb) = embs[x], embs[y]
+            if buckets[da] != buckets[db] or not da < db:
+                continue
+            c = spark_round(cosine(va, vb), 6)
+            if c >= threshold:
+                ia.append(da)
+                ib.append(db)
+                cs.append(c)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "cosine": pa.array(cs, pa.float64()),
+        }
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else Path(__file__).resolve().parents[1] / "fixtures")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    docs = load_documents(sf_dir)
+    embs = load_embeddings(sf_dir)
+
+    tables = {
+        "extract_pipeline_spans": fx_extract_pipeline_spans(docs),
+        "winnow_fingerprints": fx_winnow(docs),
+        "simhash_fingerprints": fx_simhash_fingerprints(docs),
+        "simhash_near_dup_pairs": fx_simhash_pairs(docs),
+        "minhash_lsh_pairs": fx_minhash_pairs(docs),
+        "media_features": fx_media_features(docs),
+        "ann_lsh_topk": fx_ann_lsh(embs),
+        "ann_ivf_topk": fx_ann_ivf(embs),
+        "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
+    }
+    for name, table in tables.items():
+        path = out_dir / f"fx_{name}.parquet"
+        pq.write_table(table, path)
+        print(f"wrote {path} ({table.num_rows} rows)")
+
+
+if __name__ == "__main__":
+    main()
