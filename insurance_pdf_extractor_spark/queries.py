@@ -1038,6 +1038,35 @@ def q_pdf_metadata(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multimodal frame sampling: one row per sampled timestamp per video
+# asset (explode-by-duration plumbing a real frame sampler uses;
+# operators/multimodal.py:sample_frames). Durations derived from
+# n_chars so the oracle can enumerate the same timestamps.
+# ---------------------------------------------------------------------------
+@register(
+    "media_frame_sample",
+    """
+    SELECT 'v-' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CAST(unnest(generate_series(0,
+                greatest(CAST(floor(n_chars / 1000.0) AS INT) - 1, 0))) * 1000
+                AS BIGINT) AS frame_ts
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_media_frame_sample(spark, sf_dir):
+    from .operators.multimodal import sample_frames
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    assets = d.select(
+        F.concat(F.lit("v-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    frames = sample_frames(assets, every_ms=1000)
+    return frames.select("media_ref", F.col("frame_ts").cast("long").alias("frame_ts"))
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs", _fx("minhash_lsh_pairs"))
