@@ -104,8 +104,9 @@ def _render_doc(
     {(page, line_idx): min_byte_offset_of_its_runs})."""
     out = bytearray(b"%PDF-1.4\n")
     if info:
-        body = " ".join(f"/{k} ({_esc(v)})" for k, v in info.items())
-        out += f"1 0 obj\n<< {body} >>\nendobj\n".encode()
+        from .sources.render import info_obj_bytes
+
+        out += info_obj_bytes(info)
     line_offsets: dict[tuple[int, int], int] = {}
     for pg_idx, lines in enumerate(pages):
         out += f"%%PAGE {pg_idx}\n".encode()

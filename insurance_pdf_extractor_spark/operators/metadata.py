@@ -79,10 +79,20 @@ def parse_info_dict(content: bytes) -> dict[str, str]:
 
 def pdf_info(content: bytes | None) -> dict:
     """One document's full info record (reference get_pdf_info shape,
-    minus the dict-vs-flat nesting — columns are flattened)."""
+    minus the dict-vs-flat nesting — columns are flattened).
+
+    The first-page preview tokenizes only the byte prefix up to the
+    SECOND ``%%PAGE`` marker — like pypdf reading pages[0] — so the S3
+    scan never pays the full Stage-1 kernel cost on a multi-hundred-page
+    document just to keep 500 chars. (Page-0 runs can only precede the
+    second marker; a hostile stream that re-declares ``%%PAGE 0`` later
+    is out of scope for this info endpoint.)"""
     b = content or b""
     info = parse_info_dict(b)
-    runs = tokenize_content(b)
+    first = b.find(b"%%PAGE")
+    second = b.find(b"%%PAGE", first + 1) if first != -1 else -1
+    prefix = b if second == -1 else b[:second]
+    runs = tokenize_content(prefix)
     first_page = [t for p, _o, t in layout_lines(runs) if p == 0]
     preview_src = "\n".join(first_page)
     return {

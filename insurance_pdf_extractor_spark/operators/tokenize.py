@@ -109,8 +109,20 @@ _COMMENT = re.compile(r"[^\r\n]*")
 # no text state, so skipping is semantics-preserving. Anything fancier
 # (nested strings, arrays, streams) fails this match and falls back to
 # the interpreter for the whole doc, as usual.
+#
+# Every quantifier is POSSESSIVE (*+ / ++, Python 3.11): the loop's
+# alternatives have disjoint first characters, so on a non-matching
+# (truncated/hostile) object the engine fails in linear time instead of
+# exploring exponentially many ways to split a digit run between
+# adjacent number tokens — a '1 0 obj<<' + '1'*40 prefix measured
+# MINUTES with backtracking quantifiers. The number alternative here is
+# a loose [\d.+-] run (not the strict float grammar): for skipping, any
+# operand-shaped token is dead weight either way, and a char-class run
+# is atomic by construction.
 _INFO_OBJ = re.compile(
-    rf"\d+{_SP}+\d+{_SP}+obj{_SP}*<<(?:{_SP}|/[^ \t\r\n\f\x00()<>\[\]{{}}/%]*|{_FLAT}|{_NUM})*>>{_SP}*endobj"
+    rf"\d++{_SP}++\d++{_SP}++obj{_SP}*+<<"
+    rf"(?:{_SP}++|/[^ \t\r\n\f\x00()<>\[\]{{}}/%]*+|{_FLAT}|[+-]?+[\d.]++)*+"
+    rf">>{_SP}*+endobj"
 )
 
 

@@ -35,16 +35,6 @@ from ..constants import (
     SHARD_PAGES,
     SHARD_SIZE_BYTES,
 )
-
-
-def effective_shard_size(max_size_bytes: int, shard_size_bytes: int | None) -> int:
-    """Resolve the shard threshold: an explicit value wins; otherwise
-    min(SHARD_SIZE_BYTES, max_size_bytes * SHARD_FRAC) so the oversized
-    path is reachable under whatever size cap is active (see
-    constants.py for the measured break-even rationale)."""
-    if shard_size_bytes is not None:
-        return shard_size_bytes
-    return min(SHARD_SIZE_BYTES, int(max_size_bytes * SHARD_FRAC))
 from ..operators.assemble import (
     extract_spans_udf,
     merge_sharded_lines,
@@ -56,6 +46,16 @@ from ..schema import DOCUMENTS_SIZED
 from ..functions.confidence import confidence_map_expr, estimated_cost_expr, token_count_expr
 
 PDF_MAGIC = bytes(b"%PDF-")
+
+
+def effective_shard_size(max_size_bytes: int, shard_size_bytes: int | None) -> int:
+    """Resolve the shard threshold: an explicit value wins; otherwise
+    min(SHARD_SIZE_BYTES, max_size_bytes * SHARD_FRAC) so the oversized
+    path is reachable under whatever size cap is active (see
+    constants.py for the measured break-even rationale)."""
+    if shard_size_bytes is not None:
+        return shard_size_bytes
+    return min(SHARD_SIZE_BYTES, int(max_size_bytes * SHARD_FRAC))
 
 
 def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) -> DataFrame:

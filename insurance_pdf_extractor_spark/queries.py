@@ -1003,7 +1003,7 @@ def q_windowed_metrics(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(ceil(greatest(ceil(nw / 10.0), 1) / 18.0) AS INT) AS num_pages,
@@ -1018,10 +1018,14 @@ def q_windowed_metrics(spark, sf_dir):
     """,
 )
 def q_pdf_metadata(spark, sf_dir):
+    # null-text guard on both sides; the oracle's DuckDB word count (RE2
+    # \s, space-only trim) matches Python str.split() for the testdata's
+    # ASCII whitespace — exotic unicode separators near a 180-word page
+    # boundary would need the oracle's split class widened
     from .operators.metadata import scan_pdf_info
     from .sources.render import render_documents_raw
 
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     raw = render_documents_raw(d)
     info = scan_pdf_info(raw)
     return info.select(
@@ -1106,6 +1110,14 @@ def q_ann_ivf(spark, sf_dir):
 # mathematically identical to exhaustive search — so the brute-force
 # DuckDB oracle value-checks the whole IVF machinery (centroid pick,
 # cell assignment, probed join, rerank) end-to-end.
+#
+# round(,6) dialect note: Spark rounds HALF_UP on the shortest decimal
+# repr, DuckDB rounds the binary double — they diverge only when the
+# shortest repr lands EXACTLY on a 7th-digit tie. Cosines of float32
+# vectors are generic 16-17-significant-digit doubles, so that event is
+# measure-zero here (unlike the round-1 A4 rate = k*100/n, whose small-
+# denominator rationals hit ties constantly). The fixture oracles for
+# the other ANN queries sidestep the question entirely via spark_round.
 @register(
     "ann_ivf_exhaustive",
     """

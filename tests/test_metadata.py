@@ -93,6 +93,26 @@ def test_parse_never_crashes(b):
     assert set(out) == set(_KEYMAP.values())
 
 
+def test_info_obj_skip_is_linear_on_hostile_input():
+    """Truncated/hostile info objects must fail the skip-match in linear
+    time (regression: a backtracking _INFO_OBJ took minutes on a 40-digit
+    run inside an unterminated dict) and stay tier-equivalent."""
+    import time
+
+    from insurance_pdf_extractor_spark.operators import tokenize as tk
+
+    hostiles = [
+        b"%PDF-1.4\n1 0 obj<<" + b"1" * 80 + b"(",
+        b"%PDF-1.4\n5 0 obj << /Length " + b"9" * 120,
+        b"1 0 obj<<" + b"7" * 200 + b"\nBT 1 2 Td (x) Tj ET",
+    ]
+    for h in hostiles:
+        t0 = time.perf_counter()
+        fast = tk.tokenize_content(h)
+        assert time.perf_counter() - t0 < 1.0
+        assert fast == tk.tokenize_content_reference(h)
+
+
 def test_scan_pdf_info_spark(spark, corpus_docs):
     """End-to-end Spark stage: raw corpus -> info struct rows match the
     pure-Python per-doc computation."""

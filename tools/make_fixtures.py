@@ -466,6 +466,16 @@ def main():
         pq.write_table(table, path)
         print(f"wrote {path} ({table.num_rows} rows)")
 
+    # manifest: fixtures encode EXPECTED RESULTS FOR THIS sf_dir ONLY —
+    # running the gate at another scale factor against these fixtures
+    # would fail spuriously (tools/verify_queries.py checks this)
+    import json
+
+    (out_dir / "MANIFEST.json").write_text(
+        json.dumps({"sf_dir": sf_dir, "fixtures": sorted(tables)}, indent=1)
+    )
+    print(f"wrote {out_dir / 'MANIFEST.json'}")
+
 
 if __name__ == "__main__":
     main()

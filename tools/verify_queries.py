@@ -51,6 +51,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    manifest = Path(__file__).resolve().parents[1] / "fixtures" / "MANIFEST.json"
+    if manifest.exists():
+        import json
+
+        fx_sf = json.loads(manifest.read_text()).get("sf_dir")
+        if fx_sf and Path(fx_sf).resolve() != Path(sf_dir).resolve():
+            print(
+                f"WARNING: fixture oracles were generated for {fx_sf}, not {sf_dir} — "
+                f"fixture-backed queries WILL mismatch; regenerate with "
+                f"`python tools/make_fixtures.py {sf_dir}`"
+            )
+
     import __spark_entry__ as E
     from pyspark.sql import SparkSession
 
