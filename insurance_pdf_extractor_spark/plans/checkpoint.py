@@ -101,8 +101,14 @@ def run_extract_job(
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+    try:
+        rejects_written = spark.read.parquet(f"{out_dir}/{REJECTS_DIR}")
+    except Exception:
+        # a run with ZERO rejects writes an empty (schemaless) parquet
+        # dir — reading it back throws UNABLE_TO_INFER_SCHEMA
+        rejects_written = spark.createDataFrame([], "bucket int")
     rej_stats = (
-        spark.read.parquet(f"{out_dir}/{REJECTS_DIR}")
+        rejects_written
         .join(pending.select("bucket").distinct(), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(F.count("*").alias("docs_rejected"))

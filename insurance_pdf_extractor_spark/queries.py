@@ -1042,6 +1042,104 @@ def q_pdf_metadata(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S9/S10 — export sinks, proven by write→read-back round trips: the
+# returned frame is what a consumer reads from the exported files, and
+# the oracle recomputes the same rows straight from the source table.
+# ---------------------------------------------------------------------------
+@register(
+    "csv_export_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS total
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def q_csv_export_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from .sources.sinks import export_csv
+
+    o = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="csv_gate_") + "/orders"
+    export_csv(o, path)
+    return (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_orderpriority string, total double")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+@register(
+    "json_export_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 19 = 0
+    """,
+)
+def q_json_export_roundtrip(spark, sf_dir):
+    # nested struct exercised through the JSON sink, flattened back to
+    # scalars for the harness canonicalizer
+    import tempfile
+
+    from .sources.sinks import export_json
+
+    o = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="json_gate_") + "/orders"
+    export_json(o, path)
+    back = spark.read.schema("o_orderkey long, meta struct<status:string,priority:string>").json(path)
+    return back.select(
+        "o_orderkey", F.col("meta.status").alias("status"), F.col("meta.priority").alias("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/J3 — checkpoint/lineage sink: run the checkpointed extraction job
+# on a rendered subset, return the lineage table; the fixture oracle
+# recomputes per-bucket membership (pure-Python XXH64 pmod), doc counts,
+# span counts (via the span oracle), and lexicographic doc-id ranges.
+# ---------------------------------------------------------------------------
+@register("checkpoint_lineage", _fx("checkpoint_lineage"))
+def q_checkpoint_lineage(spark, sf_dir):
+    import tempfile
+
+    from .plans.checkpoint import run_extract_job
+    from .sources.render import render_documents_raw
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = render_documents_raw(d)
+    out = tempfile.mkdtemp(prefix="ckpt_gate_")
+    run_extract_job(raw, out, run_id="gate", n_buckets=8)
+    ck = spark.read.parquet(f"{out}/checkpoint")
+    return ck.select(
+        "run_id",
+        "partition_id",
+        "min_doc_id",
+        "max_doc_id",
+        "extractor_version",
+        "docs_processed",
+        "spans_emitted",
+        "docs_rejected",
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal frame sampling: one row per sampled timestamp per video
 # asset (explode-by-duration plumbing a real frame sampler uses;
 # operators/multimodal.py:sample_frames). Durations derived from

@@ -340,6 +340,38 @@ def fx_media_features(docs) -> pa.Table:
     )
 
 
+def fx_checkpoint_lineage(docs, n_buckets: int = 8, run_id: str = "gate") -> pa.Table:
+    """Expected lineage rows for run_extract_job over rendered docs
+    0-199: bucket = pmod(xxhash64(doc_id_string), n) recomputed with the
+    pure-Python XXH64; spans per doc via the span oracle; doc-id ranges
+    are lexicographic string min/max (doc_id is a string column)."""
+    from insurance_pdf_extractor_spark.constants import EXTRACTOR_VERSION
+
+    per_bucket: dict[int, dict] = {}
+    for doc_id, text in docs:
+        if doc_id >= 200:
+            continue
+        sid = str(doc_id)
+        bucket = xxh64_signed(sid) % n_buckets
+        st = per_bucket.setdefault(bucket, {"n": 0, "spans": 0, "ids": []})
+        st["n"] += 1
+        st["spans"] += len(expected_spans(sid, text))
+        st["ids"].append(sid)
+    rows = sorted(per_bucket.items())
+    return pa.table(
+        {
+            "run_id": pa.array([run_id] * len(rows), pa.string()),
+            "partition_id": pa.array([b for b, _ in rows], pa.int32()),
+            "min_doc_id": pa.array([min(st["ids"]) for _, st in rows], pa.string()),
+            "max_doc_id": pa.array([max(st["ids"]) for _, st in rows], pa.string()),
+            "extractor_version": pa.array([EXTRACTOR_VERSION] * len(rows), pa.string()),
+            "docs_processed": pa.array([st["n"] for _, st in rows], pa.int64()),
+            "spans_emitted": pa.array([st["spans"] for _, st in rows], pa.int64()),
+            "docs_rejected": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
     rs = np.random.RandomState(seed)
     return rs.randn(n_planes, dim).round(6).tolist()
@@ -457,6 +489,7 @@ def main():
         "simhash_near_dup_pairs": fx_simhash_pairs(docs),
         "minhash_lsh_pairs": fx_minhash_pairs(docs),
         "media_features": fx_media_features(docs),
+        "checkpoint_lineage": fx_checkpoint_lineage(docs),
         "ann_lsh_topk": fx_ann_lsh(embs),
         "ann_ivf_topk": fx_ann_ivf(embs),
         "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
