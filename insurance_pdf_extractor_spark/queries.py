@@ -1042,6 +1042,62 @@ def q_pdf_metadata(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 — Structured Streaming through the gate: the SAME watermarked
+# tumbling-window aggregation the metrics stream uses
+# (streaming/stream.py:windowed_event_metrics), executed as a real
+# streaming query (readStream → availableNow → memory sink) over the
+# events table; the DuckDB oracle recomputes it relationally, proving
+# stream == batch == SQL on identical input. Complete output mode: with
+# a single availableNow batch, append mode would hold every window open
+# behind the watermark and emit nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_windowed_metrics",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_metrics(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from .streaming.stream import windowed_event_metrics
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ. Cast in
+    # and cast window.start back below — round-trips identically for
+    # 5-minute buckets under any session timezone (all real UTC offsets
+    # are multiples of 15 min)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_metrics(stream)
+    name = "stream_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_gate_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").cast("timestamp_ntz").alias("w_start"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S9/S10 — export sinks, proven by write→read-back round trips: the
 # returned frame is what a consumer reads from the exported files, and
 # the oracle recomputes the same rows straight from the source table.
