@@ -29,8 +29,14 @@ def strip_boilerplate(
     """Drop repeated header/footer lines from (page, offset, text) lines."""
     if n_pages < BOILERPLATE_MIN_PAGES:
         return list(lines)
+    # one norm_key per line (three regex passes each) — the old
+    # detect-then-filter shape recomputed it twice per line, and
+    # boilerplate was ~26% of the fused kernel
+    keys = [norm_key(text) for _page, _off, text in lines]
     pages_with: dict[str, set[int]] = {}
-    for page, _off, text in lines:
-        pages_with.setdefault(norm_key(text), set()).add(page)
+    for (page, _off, _text), k in zip(lines, keys):
+        pages_with.setdefault(k, set()).add(page)
     drop = {k for k, pgs in pages_with.items() if len(pgs) / n_pages >= BOILERPLATE_MIN_FRAC}
-    return [ln for ln in lines if norm_key(ln[2]) not in drop]
+    if not drop:
+        return list(lines)
+    return [ln for ln, k in zip(lines, keys) if k not in drop]

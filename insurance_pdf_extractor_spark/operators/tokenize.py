@@ -253,23 +253,27 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
         if t0 in "<>{}":
             continue
         if t0 in "+-.0123456789":
-            if _NUM_ONLY.fullmatch(tok):
-                try:
-                    stack.append(float(tok))
-                except ValueError:
-                    pass
-            else:
-                # digit-leading keyword like '1e308' (PDF numbers have
-                # no exponent form): an unknown operator — clears
-                # operands, matching the reference scanner's net effect
-                # of number-prefix-push + keyword-clear
-                stack.clear()
-            continue
+            # the reference scanner reads the maximal [+-.\d]+ run as a
+            # number token, then scans what follows as a SEPARATE
+            # operator keyword — so a glued token like ".'" or "5Tj"
+            # must split the same way here (push-or-drop the number,
+            # then dispatch the remainder as an operator). Treating the
+            # whole run as one unknown keyword diverged on show/leading
+            # operators: reference emitted "(x).'" as a run, this tier
+            # cleared the stack (caught by the raw-byte fuzz soak).
+            m2 = _NUM_ONLY.match(tok)
+            try:
+                stack.append(float(m2.group(0)))
+            except ValueError:
+                pass
+            tok = tok[m2.end() :]
+            if not tok:
+                continue
         op = tok
         if op == "BT":
             lm_x = lm_y = 0.0
             leading = 0.0
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Td" or op == "TD":
             if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
                 ty, tx = stack[-1], stack[-2]
@@ -277,34 +281,34 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
                 lm_y += ty
                 if op == "TD":
                     leading = -ty
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Tm":
             if len(stack) >= 6 and all(isinstance(v, float) for v in stack[-6:]):
                 lm_x, lm_y = stack[-2], stack[-1]
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "T*":
             lm_y -= leading
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "TL":
             if stack and isinstance(stack[-1], float):
                 leading = stack[-1]
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Tj" or op == "'":
             if op == "'":
                 lm_y -= leading
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                 _, off, s = stack[-1]
                 runs.append((page, lm_x, lm_y, off, s))
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "TJ":
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                 _, off, items = stack[-1]
                 s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
-            stack.clear()
+            stack.clear(); array_marks.clear()
         else:  # ET and every unknown operator consume their operands
-            stack.clear()
+            stack.clear(); array_marks.clear()
     return runs
 
 
@@ -431,9 +435,9 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
         if op == "BT":
             lm_x = lm_y = 0.0
             leading = 0.0
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "ET":
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Td" or op == "TD":
             if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
                 ty, tx = stack[-1], stack[-2]
@@ -441,35 +445,35 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
                 lm_y += ty
                 if op == "TD":
                     leading = -ty
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Tm":
             if len(stack) >= 6 and all(isinstance(v, float) for v in stack[-6:]):
                 lm_x, lm_y = stack[-2], stack[-1]
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "T*":
             lm_y -= leading
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "TL":
             if stack and isinstance(stack[-1], float):
                 leading = stack[-1]
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "Tj" or op == "'":
             if op == "'":
                 lm_y -= leading
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                 _, off, s = stack[-1]
                 runs.append((page, lm_x, lm_y, off, s))
-            stack.clear()
+            stack.clear(); array_marks.clear()
         elif op == "TJ":
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                 _, off, items = stack[-1]
                 s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
-            stack.clear()
+            stack.clear(); array_marks.clear()
         else:
             # unknown operator (Tf, Tc, Tw, gs, ...) — consume operands
-            stack.clear()
+            stack.clear(); array_marks.clear()
     return runs
 
 

@@ -28,6 +28,9 @@ HOSTILE = [
     ("deep-array", b"%PDF-1.4\nBT\n" + b"[" * 200 + b"(x)" + b"]" * 200 + b" TJ\nET\n"),
     ("huge-number", b"%PDF-1.4\nBT\n1e308 99999999999999999999 Td\n(x) Tj\nET\n"),
     ("bad-number", b"%PDF-1.4\nBT\n12.5.6 -.+. Td\n(x) Tj\nET\n"),
+    ("array-mark-cleared", b"%PDF-1.4\n[ BT ]\nBT\n1 2 Td\n(x) Tj\nET\n"),
+    ("array-mark-repushed", b"%PDF-1.4\n[ Tj 5 4 ]\n"),
+    ("truncated-info-obj", b"%PDF-1.4\n1 0 obj<<" + b"1" * 64 + b"("),
     ("comment-noeol", b"%PDF-1.4\n% comment without newline"),
     ("page-garbage", b"%PDF-1.4\n%%PAGE xyz\nBT\n1 2 Td\n(x) Tj\nET\n"),
     ("negative-page", b"%PDF-1.4\n%%PAGE -5\nBT\n1 2 Td\n(x) Tj\nET\n"),

@@ -85,6 +85,13 @@ _piece = st.one_of(
             "1 0 obj\n<< /Title (T \\(x\\)) /Author (A) /N 3 >>\nendobj\n",
             "2 0 obj << /Title ((nested)) >> endobj\n",  # nested str → fallback
             "3 0 obj\n<< /Producer (p\\\\q) /CreationDate (D:2024) >>\nendobj\n",
+            # operator INSIDE an open array: the stack-clear must drop
+            # the array mark too (regression: stale mark index crashed
+            # the interpreter/reference tiers on the closing ']')
+            "[ BT ]\n",
+            "[ Tj 5 4 ]\n",
+            "[ q 1 0 cm ] BT\n1 2 Td\n(x) Tj\nET\n",
+            "[[ BT ]] ]\n",
         ]
     ),
 )
@@ -97,6 +104,34 @@ def test_tokenizer_tiers_agree(pieces):
     ref = tokenize_content_reference(content)
     assert tokenize_content(content) == ref
     assert _tokenize_interpreter(content) == ref
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_tokenizer_tiers_agree_on_raw_bytes(b):
+    """Arbitrary bytes: no tier may crash and all must agree (found the
+    glued number-operator split divergence and the stale-array-mark
+    crash that structured pieces never hit)."""
+    ref = tokenize_content_reference(b)
+    assert tokenize_content(b) == ref
+    assert _tokenize_interpreter(b) == ref
+
+
+_PRINTABLE = st.text(
+    alphabet="()[]<>{}/%\\'\"BTEjdmLQq* .0123456789+-\t\r\nxo",
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_PRINTABLE)
+def test_tokenizer_tiers_agree_on_operator_soup(s):
+    """Dense streams of delimiters/operators/numbers without structured
+    spacing — the regime where tokenization boundaries diverge."""
+    b = s.encode("latin-1")
+    ref = tokenize_content_reference(b)
+    assert tokenize_content(b) == ref
+    assert _tokenize_interpreter(b) == ref
 
 
 def test_fast_path_handles_corpus_without_fallback():
