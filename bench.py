@@ -86,6 +86,21 @@ def main() -> None:
     sustained_sec = time.perf_counter() - t0
     timings["extract_sustained_32x"] = round(sustained_sec, 3)
 
+    # production shape: raw documents already persisted as parquet —
+    # the timed window is scan → salt shuffle → kernel → fields only,
+    # no corpus rendering (render is test scaffolding, not the engine)
+    import shutil
+    import tempfile
+
+    raw_dir = tempfile.mkdtemp(prefix="bench_raw_") + "/raw"
+    render_documents_raw(reps).write.parquet(raw_dir)
+    stored = spark.read.parquet(raw_dir)
+    t0 = time.perf_counter()
+    _run(extract_results(stored))
+    storage_sec = time.perf_counter() - t0
+    timings["extract_from_storage_32x"] = round(storage_sec, 3)
+    shutil.rmtree(raw_dir, ignore_errors=True)
+
     for name in HEADLINE:
         fn = registry[name]
         _run(fn(spark, sf_dir))  # warm: codegen compile is one-time per JVM
@@ -103,6 +118,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 2),
         "docs_per_sec_sustained": round(n_docs * 32 / sustained_sec, 2),
+        "docs_per_sec_storage": round(n_docs * 32 / storage_sec, 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -188,6 +188,7 @@ def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     from ..constants import BOILERPLATE_MIN_FRAC, BOILERPLATE_MIN_PAGES
+    from .boilerplate import _DIGIT_TBL
 
     doc_id = pdf["doc_id"].iloc[0]
     n_pages = int(pdf["n_pages"].iloc[0])
@@ -208,7 +209,7 @@ def merge_sharded_lines(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = (
             pd.Series(texts)
             .str.lower()
-            .str.replace(r"\d", "0", regex=True)
+            .str.translate(_DIGIT_TBL)   # ASCII digits only, like norm_key
             .str.replace(r"\s+", " ", regex=True)
             .str.strip()
         )

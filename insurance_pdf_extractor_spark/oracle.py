@@ -210,13 +210,17 @@ def validate_record(raw: dict) -> tuple[dict, list[str], list[str]]:
 # ---------------------------------------------------------------------------
 
 _NORM_WS = re.compile(r"\s+")
-_NORM_DIGIT = re.compile(r"\d")
+
+
+_NORM_DIGIT_TBL = str.maketrans("0123456789", "0000000000")
 
 
 def normalize_line(line: str) -> str:
-    """Boilerplate key: lowercase, digits→'0', collapsed whitespace, so
-    'Page 1 of 3' and 'Page 2 of 3' count as the same repeated line."""
-    return _NORM_WS.sub(" ", _NORM_DIGIT.sub("0", line.lower())).strip()
+    """Boilerplate key: lowercase, ASCII digits→'0', collapsed
+    whitespace, so 'Page 1 of 3' and 'Page 2 of 3' count as the same
+    repeated line (same rule as operators/boilerplate.norm_key and the
+    shard-merge replica: only ASCII digits fold)."""
+    return _NORM_WS.sub(" ", line.lower().translate(_NORM_DIGIT_TBL)).strip()
 
 
 def boilerplate_keys(pages: list[list[str]]) -> set[str]:
