@@ -13,8 +13,13 @@ the others combined — and runs the extraction twice:
 
 Prints one JSON line with both wall times and the speedup.
 
+Each config runs in a FRESH subprocess/JVM: a 100 MB+ document churns
+G1 humongous allocations, and measuring both configs in one session
+polluted the second measurement by up to 4x (observed round 2).
+
 Usage: python tools/bench_skew.py  (env: SKEW_CORES default 8,
-SKEW_GIANT_PAGES default 2000)
+SKEW_GIANT_PAGES default 2000, SKEW_NON_TEMPLATE=1 to force the
+token-interpreter path)
 """
 
 from __future__ import annotations
@@ -29,6 +34,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 CORES = int(os.environ.get("SKEW_CORES", "8"))
 GIANT_PAGES = int(os.environ.get("SKEW_GIANT_PAGES", "2000"))
+
+
+def orchestrate() -> None:
+    import subprocess
+
+    results = {}
+    for mode in ("noshard", "shard"):
+        out = subprocess.run(
+            [sys.executable, __file__, "--run", mode],
+            capture_output=True, text=True, check=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+        )
+        results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps({
+        "metric": "skewed-corpus extraction wall time, sharding off vs on",
+        "cores": CORES,
+        "giant_pages": GIANT_PAGES,
+        "giant_mb": results["noshard"]["giant_mb"],
+        "no_shard_sec": results["noshard"]["wall_sec"],
+        "sharded_sec": results["shard"]["wall_sec"],
+        "speedup": round(results["noshard"]["wall_sec"] / results["shard"]["wall_sec"], 2),
+    }))
 
 
 def main() -> None:
@@ -73,20 +100,21 @@ def main() -> None:
         docs.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    no_shard = run(shard_size=giant_bytes + 1, shard_pages=64)
-    sharded = run(shard_size=64 * 1024, shard_pages=max(8, GIANT_PAGES // (4 * CORES)))
-
+    mode = sys.argv[2] if len(sys.argv) > 2 else "noshard"
+    if mode == "noshard":
+        wall = run(shard_size=giant_bytes + 1, shard_pages=64)
+    else:
+        wall = run(shard_size=64 * 1024, shard_pages=max(8, GIANT_PAGES // (4 * CORES)))
     print(json.dumps({
-        "metric": "skewed-corpus extraction wall time, sharding off vs on",
-        "cores": CORES,
-        "giant_pages": GIANT_PAGES,
+        "mode": mode,
         "giant_mb": round(giant_bytes / 1e6, 1),
-        "no_shard_sec": round(no_shard, 2),
-        "sharded_sec": round(sharded, 2),
-        "speedup": round(no_shard / sharded, 2),
+        "wall_sec": round(wall, 2),
     }))
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        main()
+    else:
+        orchestrate()
