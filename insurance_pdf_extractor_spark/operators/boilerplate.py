@@ -23,13 +23,19 @@ _WS_RE = re.compile(r"\s+")
 _DIGIT_TBL = str.maketrans("0123456789", "0000000000")
 
 
+# every ASCII char Python's \s matches besides a lone space (incl.
+# \x1c-\x1f file/group/record/unit separators), plus a double space —
+# if none of these occur, the \s+ collapse is the identity
+_NEEDS_COLLAPSE = re.compile(r"[\t\n\x0b\x0c\r\x1c-\x1f]|  ")
+
+
 def norm_key(line: str) -> str:
     k = line.lower().translate(_DIGIT_TBL)
     # skip the whitespace-collapse regex when there is nothing to
     # collapse (single spaces only) — the dominant case; non-ASCII may
-    # hold unicode whitespace the cheap check can't see, so it always
-    # takes the regex
-    if not k.isascii() or "  " in k or "\t" in k or "\n" in k or "\r" in k or "\x0b" in k or "\x0c" in k:
+    # hold unicode whitespace the search can't prove absent, so it
+    # always takes the regex
+    if not k.isascii() or _NEEDS_COLLAPSE.search(k):
         k = _WS_RE.sub(" ", k)
     return k.strip()
 

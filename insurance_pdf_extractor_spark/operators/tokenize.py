@@ -51,7 +51,12 @@ _MASTER = re.compile(
     re.X,
 )
 _ESC = re.compile(r"\\([0-7]{1,3}|.)")
-_NUM_ONLY = re.compile(r"[+\-.\d]+")
+# ASCII number chars ONLY (PDF numbers are ASCII, §7.3.3). NOT \d and
+# NOT str.isdigit(): Python's \d skips latin-1 superscripts ¹²³ while
+# isdigit() accepts them, and the tiers must split a glued token like
+# '1\xb2' at the SAME boundary (verified divergence before this class
+# was pinned down).
+_NUM_ONLY = re.compile(r"[+\-.0-9]+")
 
 
 def _unescape(m: re.Match) -> str:
@@ -75,8 +80,12 @@ _FLAT = r"\((?:\\.|[^()\\])*\)"
 # [\d.]+ would match '12.5.6', which the interpreter/reference tiers
 # treat as an unparseable number token; the block path must NOT match
 # it (it falls back to the interpreter for the whole doc instead of
-# crashing the task on ValueError).
-_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+# crashing the task on ValueError). Quantifiers are POSSESSIVE so that
+# inside an unbounded loop (the TJ array below) a digit run has exactly
+# ONE parse — with backtracking quantifiers a truncated '[111...'
+# explores exponentially many NUM splits before failing (reproduced:
+# 40 digits hung the scanner; same ReDoS class fixed in _INFO_OBJ).
+_NUM = r"[+-]?+(?:\d++\.?+\d*+|\.\d++)"
 # inter-token whitespace EXACTLY as the reference parser's _WS set —
 # Python's \s additionally matches \x0b \x1c-\x1f \x85 \xa0, which are
 # NOT whitespace to the reference tier, and a fast-path match across
@@ -93,20 +102,18 @@ _BLOCK_BODY = rf"""
       | {_NUM}{_SP}+{_NUM}{_SP}+{_NUM}{_SP}+{_NUM}{_SP}+({_NUM}){_SP}+({_NUM}){_SP}+Tm
     ){_SP}+
     (?: ({_FLAT}){_SP}+Tj
-      | \[((?:{_SP}|{_NUM}|{_FLAT})*)\]{_SP}+TJ
+      | \[((?:{_SP}++|{_NUM}|{_FLAT})*+)\]{_SP}+TJ
     ){_SP}+
     ET
     """
-_BLOCK = re.compile(_BLOCK_BODY, re.X)
 # fused scanner step: leading whitespace + (comment | text block) in ONE
 # compiled match — the previous skip-ws-then-dispatch loop paid two to
 # three C-level .match calls per block, and .match call count was ~70%
 # of fast-path time (profiled). Group 1 = comment; groups 2-7 = the
-# _BLOCK groups shifted by one.
+# block-body groups shifted by one.
 _STEP = re.compile(rf"{_SP}*(?:(%[^\r\n]*)|{_BLOCK_BODY})", re.X)
 _FLAT_ALL = re.compile(_FLAT)
 _SKIP_WS = re.compile(r"[ \t\r\n\f\x00]*")
-_COMMENT = re.compile(r"[^\r\n]*")
 
 # A simple indirect object holding a dictionary of names/strings/numbers
 # (the /Info metadata shape). The fast path may SKIP it wholesale: such
@@ -415,7 +422,9 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
             continue
         if c in "+-.0123456789":
             j = i
-            while j < n and (text[j].isdigit() or text[j] in "+-."):
+            # ASCII digits only — isdigit() would also take ¹²³ and
+            # split glued tokens differently from the other tiers
+            while j < n and text[j] in "+-.0123456789":
                 j += 1
             try:
                 stack.append(float(text[i:j]))

@@ -35,9 +35,11 @@ def bucket_expr(n_buckets: int):
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
     """Buckets already recorded for this run (empty DF when no
     checkpoint exists yet)."""
+    from pyspark.errors import AnalysisException
+
     try:
         ck = spark.read.parquet(f"{out_dir}/{CHECKPOINT_DIR}")
-    except Exception:
+    except AnalysisException:  # no checkpoint dir yet (PATH_NOT_FOUND)
         return spark.createDataFrame([], "bucket int")
     return ck.filter(F.col("run_id") == run_id).select(F.col("partition_id").alias("bucket")).distinct()
 
@@ -91,24 +93,33 @@ def run_extract_job(
 
     wall_ms = int((time.monotonic() - t0) * 1000)
 
-    # lineage counters per bucket, computed from what was just written
-    written = spark.read.parquet(f"{out_dir}/{DOCUMENTS_DIR}").join(
-        pending.select("bucket").distinct(), "bucket", "left_semi"
-    )
+    # lineage counters per bucket, computed from what was just written.
+    # Either side can be EMPTY (all docs rejected / zero rejects): an
+    # empty write leaves a schemaless parquet dir and the read-back
+    # throws UNABLE_TO_INFER_SCHEMA — substitute an empty frame for
+    # exactly that AnalysisException, never for other read failures
+    # (those must surface, not silently zero the lineage counters).
+    from pyspark.errors import AnalysisException
+
+    def _read_written(path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as ex:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
+            return spark.createDataFrame([], schema)
+
+    written = _read_written(
+        f"{out_dir}/{DOCUMENTS_DIR}", "bucket int, doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ).join(pending.select("bucket").distinct(), "bucket", "left_semi")
     doc_stats = written.groupBy("bucket").agg(
         F.count("*").alias("docs_processed"),
         F.sum(F.size("spans")).alias("spans_emitted"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
-    try:
-        rejects_written = spark.read.parquet(f"{out_dir}/{REJECTS_DIR}")
-    except Exception:
-        # a run with ZERO rejects writes an empty (schemaless) parquet
-        # dir — reading it back throws UNABLE_TO_INFER_SCHEMA
-        rejects_written = spark.createDataFrame([], "bucket int")
     rej_stats = (
-        rejects_written
+        _read_written(f"{out_dir}/{REJECTS_DIR}", "bucket int")
         .join(pending.select("bucket").distinct(), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(F.count("*").alias("docs_rejected"))

@@ -1041,6 +1041,20 @@ def q_pdf_metadata(spark, sf_dir):
     )
 
 
+
+def _gate_tmpdir(prefix: str) -> str:
+    """Scratch dir for write→read-back gate queries. The returned
+    DataFrames read these paths LAZILY (deleting eagerly would break the
+    harness's later collect), so cleanup is deferred to process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # §2.9 — Structured Streaming through the gate: the SAME watermarked
 # tumbling-window aggregation the metrics stream uses
@@ -1062,7 +1076,6 @@ def q_pdf_metadata(spark, sf_dir):
     """,
 )
 def q_streaming_windowed_metrics(spark, sf_dir):
-    import tempfile
     import uuid
 
     from .streaming.stream import windowed_event_metrics
@@ -1085,7 +1098,7 @@ def q_streaming_windowed_metrics(spark, sf_dir):
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_gate_ckpt_"))
+        .option("checkpointLocation", _gate_tmpdir("stream_gate_ckpt_"))
         .start()
     )
     q.awaitTermination()
@@ -1111,8 +1124,6 @@ def q_streaming_windowed_metrics(spark, sf_dir):
     """,
 )
 def q_csv_export_roundtrip(spark, sf_dir):
-    import tempfile
-
     from .sources.sinks import export_csv
 
     o = (
@@ -1123,7 +1134,7 @@ def q_csv_export_roundtrip(spark, sf_dir):
             F.round("o_totalprice", 2).alias("total"),
         )
     )
-    path = tempfile.mkdtemp(prefix="csv_gate_") + "/orders"
+    path = _gate_tmpdir("csv_gate_") + "/orders"
     export_csv(o, path)
     return (
         spark.read.schema("o_orderkey long, o_orderstatus string, o_orderpriority string, total double")
@@ -1142,8 +1153,6 @@ def q_csv_export_roundtrip(spark, sf_dir):
 def q_json_export_roundtrip(spark, sf_dir):
     # nested struct exercised through the JSON sink, flattened back to
     # scalars for the harness canonicalizer
-    import tempfile
-
     from .sources.sinks import export_json
 
     o = (
@@ -1157,7 +1166,7 @@ def q_json_export_roundtrip(spark, sf_dir):
             ).alias("meta"),
         )
     )
-    path = tempfile.mkdtemp(prefix="json_gate_") + "/orders"
+    path = _gate_tmpdir("json_gate_") + "/orders"
     export_json(o, path)
     back = spark.read.schema("o_orderkey long, meta struct<status:string,priority:string>").json(path)
     return back.select(
@@ -1173,14 +1182,12 @@ def q_json_export_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register("checkpoint_lineage", _fx("checkpoint_lineage"))
 def q_checkpoint_lineage(spark, sf_dir):
-    import tempfile
-
     from .plans.checkpoint import run_extract_job
     from .sources.render import render_documents_raw
 
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     raw = render_documents_raw(d)
-    out = tempfile.mkdtemp(prefix="ckpt_gate_")
+    out = _gate_tmpdir("ckpt_gate_")
     run_extract_job(raw, out, run_id="gate", n_buckets=8)
     ck = spark.read.parquet(f"{out}/checkpoint")
     return ck.select(

@@ -47,3 +47,22 @@ def test_kill_resume(spark, corpus_docs, tmp_path):
     assert row["extractor_version"]
     assert row["spans_emitted"] > 0
     assert row["wall_ms"] >= 0
+
+
+def test_all_rejected_batch_still_checkpoints(spark, tmp_path):
+    """A pending batch in which EVERY document is rejected writes an
+    empty (schemaless) documents dir; the lineage read-back must
+    tolerate it — symmetric to the zero-rejects case — and record
+    docs_processed=0 with the right reject counters."""
+    from insurance_pdf_extractor_spark.plans.checkpoint import run_extract_job
+    from insurance_pdf_extractor_spark.schema import DOCUMENTS_RAW
+
+    rows = [(f"bad-{i}", b"NOTPDF garbage", [], 1, 14) for i in range(10)]
+    raw = spark.createDataFrame(rows, DOCUMENTS_RAW)
+    out = str(tmp_path / "rejonly")
+    stats = run_extract_job(raw, out, run_id="rejonly", n_buckets=4)
+    assert stats["buckets_completed"] > 0
+    ck = spark.read.parquet(f"{out}/checkpoint")
+    agg = ck.agg({"docs_rejected": "sum", "docs_processed": "sum"}).collect()[0]
+    assert agg["sum(docs_rejected)"] == 10
+    assert agg["sum(docs_processed)"] == 0

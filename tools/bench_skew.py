@@ -43,10 +43,17 @@ def orchestrate() -> None:
     for mode in ("noshard", "shard"):
         out = subprocess.run(
             [sys.executable, __file__, "--run", mode],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=str(Path(__file__).resolve().parents[1]),
         )
-        results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"skew run '{mode}' failed with rc={out.returncode}")
+        try:
+            results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"skew run '{mode}' produced no result JSON; stdout tail: {out.stdout[-500:]!r}")
     print(json.dumps({
         "metric": "skewed-corpus extraction wall time, sharding off vs on",
         "cores": CORES,
