@@ -31,6 +31,8 @@ HOSTILE = [
     ("array-mark-cleared", b"%PDF-1.4\n[ BT ]\nBT\n1 2 Td\n(x) Tj\nET\n"),
     ("array-mark-repushed", b"%PDF-1.4\n[ Tj 5 4 ]\n"),
     ("truncated-info-obj", b"%PDF-1.4\n1 0 obj<<" + b"1" * 64 + b"("),
+    ("truncated-tj-array", b"%PDF-1.4\nBT 1 2 Td [ " + b"1" * 64),
+    ("superscript-digits", b"%PDF-1.4\nBT 1 2 Td (x) 1\xb2 Tj ET\n"),
     ("comment-noeol", b"%PDF-1.4\n% comment without newline"),
     ("page-garbage", b"%PDF-1.4\n%%PAGE xyz\nBT\n1 2 Td\n(x) Tj\nET\n"),
     ("negative-page", b"%PDF-1.4\n%%PAGE -5\nBT\n1 2 Td\n(x) Tj\nET\n"),
@@ -63,3 +65,26 @@ def test_pipeline_accounts_for_every_hostile_doc(spark):
     assert by_id["empty"] == "error"
     # parseable-but-weird docs flow through as records (partial or not)
     assert by_id["lone-closers"] in ("success", "partial_success")
+
+
+def test_adversarial_repeats_are_linear_time():
+    """Every scanner entry point must fail/parse adversarial repeated
+    atoms in linear time (ReDoS class: ambiguous digit-run splits inside
+    unbounded regex loops — hit twice in round 2, in _INFO_OBJ and the
+    TJ-array alternative)."""
+    import time
+
+    from insurance_pdf_extractor_spark.operators import tokenize as tk
+    from insurance_pdf_extractor_spark.operators.metadata import parse_info_dict
+
+    atoms = [b"1", b"1.", b".", b"(", b"\\", b"/n", b"%"]
+    prefixes = [b"BT 1 2 Td [ ", b"1 0 obj<<", b"BT 1 2 Td [ (a) ", b"BT\n/F1 "]
+    for pre in prefixes:
+        for atom in atoms:
+            b = pre + atom * 300
+            t0 = time.perf_counter()
+            r1 = tk.tokenize_content(b)
+            r3 = tk.tokenize_content_reference(b)
+            parse_info_dict(b)
+            assert time.perf_counter() - t0 < 2.0, (pre, atom)
+            assert r1 == r3, (pre, atom)
