@@ -1042,6 +1042,131 @@ def q_pdf_metadata(spark, sf_dir):
 
 
 
+# ---------------------------------------------------------------------------
+# F19 — processing-time humanization (app/utils/validators.py:284-301):
+# ms under 1s, '%.1f's under a minute, 'Xm Y.Ys' beyond.
+# ---------------------------------------------------------------------------
+@register(
+    "processing_time_format",
+    """
+    WITH v AS (
+      SELECT o_orderkey, (o_orderkey % 3000) / 10.0 AS t
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN t < 1 THEN CAST(CAST(round(t * 1000) AS BIGINT) AS VARCHAR) || 'ms'
+                WHEN t < 60 THEN printf('%.1f', t) || 's'
+                ELSE CAST(CAST(floor(t / 60) AS BIGINT) AS VARCHAR) || 'm '
+                     || printf('%.1f', t % 60) || 's'
+           END AS fmt
+    FROM v
+    """,
+)
+def q_processing_time_format(spark, sf_dir):
+    from .functions.normalizers import format_processing_time_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    t = (F.col("o_orderkey") % 3000) / 10.0
+    return o.select("o_orderkey", format_processing_time_expr(t).alias("fmt"))
+
+
+# ---------------------------------------------------------------------------
+# F6 — currency/limit validation predicate (app/utils/validators.py:237-256):
+# empty/sentinel passes; otherwise parseable and non-negative.
+# ---------------------------------------------------------------------------
+_CURRENCY_VARIANTS_SQL = (
+    "CASE o_orderkey % 6 WHEN 0 THEN '$' || CAST(o_totalprice AS STRING)"
+    " WHEN 1 THEN '-50' WHEN 2 THEN 'abc' WHEN 3 THEN ''"
+    " WHEN 4 THEN 'EMPTY VALUE' ELSE '1,234.50' END"
+)
+
+
+@register(
+    "currency_validate",
+    f"""
+    WITH v AS (SELECT o_orderkey, {_CURRENCY_VARIANTS_SQL} AS raw
+               FROM orders WHERE o_orderkey % 14 = 0)
+    SELECT o_orderkey, raw,
+           (raw IS NULL OR raw = '' OR upper(raw) = 'EMPTY VALUE'
+            OR (TRY_CAST(regexp_replace(raw, '[$,\\s]', '', 'g') AS DOUBLE) IS NOT NULL
+                AND TRY_CAST(regexp_replace(raw, '[$,\\s]', '', 'g') AS DOUBLE) >= 0)) AS valid
+    FROM v
+    """,
+)
+def q_currency_validate(spark, sf_dir):
+    from .functions.normalizers import validate_currency_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 14 == 0)
+    raw = F.expr(_CURRENCY_VARIANTS_SQL)
+    return o.select("o_orderkey", raw.alias("raw"), validate_currency_expr(raw).alias("valid"))
+
+
+# ---------------------------------------------------------------------------
+# F16 — cost breakdown struct (app/services/pdf_processor.py:301-341),
+# numeric fields flattened (the '$a + $b = $c' display string is
+# test-covered; Java vs DuckDB double→string scientific-notation styles
+# differ below 1e-3, so it is not hash-comparable).
+# ---------------------------------------------------------------------------
+@register(
+    "cost_breakdown",
+    """
+    WITH t AS (
+      -- odd input / even output token counts make every 6-decimal cost
+      -- tie-free, so Spark bround (HALF_EVEN on the shortest decimal
+      -- repr) and DuckDB round (on the binary double) agree exactly
+      SELECT o_orderkey,
+             CAST((o_orderkey % 5000) * 2 + 1 AS BIGINT) AS input_tokens,
+             CAST((o_orderkey % 700) * 2 AS BIGINT) AS output_tokens
+      FROM orders WHERE o_orderkey % 21 = 0
+    )
+    SELECT o_orderkey, input_tokens, output_tokens,
+           input_tokens + output_tokens AS total_tokens,
+           round(input_tokens / 1000.0 * 0.000075, 6) AS input_cost,
+           round(output_tokens / 1000.0 * 0.0003, 6) AS output_cost,
+           round(round(input_tokens / 1000.0 * 0.000075, 6)
+                 + round(output_tokens / 1000.0 * 0.0003, 6), 6) AS total_cost
+    FROM t
+    """,
+)
+def q_cost_breakdown(spark, sf_dir):
+    from .functions.confidence import cost_breakdown_expr
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 21 == 0)
+    bd = cost_breakdown_expr(
+        ((F.col("o_orderkey") % 5000) * 2 + 1).cast("long"),
+        ((F.col("o_orderkey") % 700) * 2).cast("long"),
+    )
+    return o.select("o_orderkey", bd.alias("_bd")).select(
+        "o_orderkey",
+        F.col("_bd.input_tokens").alias("input_tokens"),
+        F.col("_bd.output_tokens").alias("output_tokens"),
+        F.col("_bd.total_tokens").alias("total_tokens"),
+        F.col("_bd.input_cost").alias("input_cost"),
+        F.col("_bd.output_cost").alias("output_cost"),
+        F.col("_bd.total_cost").alias("total_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — response/preview truncation (app/services/pdf_processor.py:481:
+# first_page_text[:500]; here a 120-char preview over documents).
+# ---------------------------------------------------------------------------
+@register(
+    "response_truncation",
+    """
+    SELECT doc_id, substr(text, 1, 120) AS preview, len(text) > 120 AS truncated
+    FROM documents
+    """,
+)
+def q_response_truncation(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("preview"),
+        (F.length("text") > 120).alias("truncated"),
+    )
+
+
 def _gate_tmpdir(prefix: str) -> str:
     """Scratch dir for write→read-back gate queries. The returned
     DataFrames read these paths LAZILY (deleting eagerly would break the
