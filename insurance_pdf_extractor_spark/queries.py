@@ -1167,6 +1167,84 @@ def q_response_truncation(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# S6 + F12/F13 + A9 — the WIDE RESULTS pipeline end-to-end: synthetic
+# labeled insurance documents are built as content streams from orders
+# columns (pure expressions, so DuckDB can reproduce the inputs), run
+# through the REAL extract_results plan (scrape → validate/normalize →
+# poison-on-error → counters), and the oracle recomputes the expected
+# record relationally: date normalization, commission '%', boolean
+# mapping, required-field poisoning to VALIDATION_FAILED, failed-field
+# names, and the extracted-field counter.
+# ---------------------------------------------------------------------------
+@register(
+    "results_pipeline",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_orderkey % 4 AS v,
+             strftime(o_orderdate, '%m/%d/%Y') AS eff_norm,
+             strftime(o_orderdate + INTERVAL 12 MONTH, '%m/%d/%Y') AS exp_norm
+      FROM orders WHERE o_orderkey % 23 = 0
+    )
+    SELECT CAST(o_orderkey AS STRING) AS doc_id,
+           CASE WHEN v = 3 THEN 'partial_success' ELSE 'success' END AS status,
+           CASE WHEN v = 3 THEN 'VALIDATION_FAILED' ELSE 'Q-' || CAST(o_orderkey AS STRING) END AS quote_number,
+           CASE WHEN v = 3 THEN 'EMPTY VALUE' ELSE eff_norm END AS policy_effective_date,
+           CASE WHEN v = 3 THEN 'EMPTY VALUE' ELSE exp_norm END AS policy_expiration_date,
+           CASE WHEN v = 3 THEN 'VALIDATION_FAILED' ELSE 'Acme ' || CAST(o_orderkey AS STRING) || ' LLC' END AS named_insured_name,
+           CASE WHEN v = 3 THEN 'EMPTY VALUE' ELSE '15.0%' END AS commission,
+           CASE WHEN v = 3 THEN 'EMPTY VALUE' ELSE 'Included' END AS tria,
+           CASE WHEN v = 3 THEN 'policy_expiration_date' ELSE '' END AS failed,
+           CASE WHEN v = 3 THEN 3 ELSE 7 END AS extracted_fields
+    FROM d
+    """,
+)
+def q_results_pipeline(spark, sf_dir):
+    from .plans.pipeline import extract_results
+
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    v = F.col("o_orderkey") % 4
+    key = F.col("o_orderkey").cast("string")
+    exp_text = F.when(
+        v == 3, F.lit("13/45/20x9")  # unparseable -> record poisoned
+    ).otherwise(F.date_format(F.add_months("o_orderdate", 12), "MM/dd/yyyy"))
+    lines = [
+        F.concat(F.lit("Quote Number: Q-"), key),
+        F.concat(F.lit("Policy Effective Date: "), F.date_format("o_orderdate", "yyyy-MM-dd")),
+        F.concat(F.lit("Policy Expiration Date: "), exp_text),
+        F.concat(F.lit("Named Insured: Acme "), key, F.lit(" LLC")),
+        F.concat(F.lit("Address: "), key, F.lit(" Main Street")),
+        F.lit("Commission: 15"),
+        F.lit("TRIA Coverage: yes"),
+    ]
+    blocks = [F.lit("%PDF-1.4\n%%PAGE 0\n")]
+    y = 760.0
+    for line in lines:
+        blocks.extend([F.lit(f"BT\n72.0 {y:.1f} Td\n("), line, F.lit(") Tj\nET\n")])
+        y -= 20.0
+    content = F.encode(F.concat(*blocks), "utf-8")
+    raw = o.select(
+        key.alias("doc_id"),
+        content.alias("content"),
+        F.expr("array()").cast("array<struct<media_ref:string,offset:int>>").alias("media"),
+        F.lit(1).alias("n_pages"),
+        F.length(content).cast("long").alias("size_bytes"),
+    )
+    res = extract_results(raw)
+    return res.select(
+        "doc_id",
+        "status",
+        "quote_number",
+        "policy_effective_date",
+        "policy_expiration_date",
+        "named_insured_name",
+        "commission",
+        "tria",
+        F.array_join("failed_fields", ",").alias("failed"),
+        F.col("extracted_fields").cast("int").alias("extracted_fields"),
+    )
+
+
 def _gate_tmpdir(prefix: str) -> str:
     """Scratch dir for write→read-back gate queries. The returned
     DataFrames read these paths LAZILY (deleting eagerly would break the
