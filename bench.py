@@ -47,8 +47,21 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _best_of(df, n: int = 2) -> float:
+    """min wall over n executions — the shared box carries external
+    load spikes (observed 3x inflation at loadavg ~9); min is the
+    stable capacity estimator (cf. BENCH.md variance notes)."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _run(df)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _load0 = round(os.getloadavg()[0], 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(app_name="bench")
 
@@ -68,9 +81,7 @@ def main() -> None:
     _run(extract_results(render_documents_raw(docs_tbl.limit(64))))
 
     job = extract_results(render_documents_raw(docs_tbl))
-    t0 = time.perf_counter()
-    _run(job)
-    extract_sec = time.perf_counter() - t0
+    extract_sec = _best_of(job)
     timings["extract_results_e2e"] = round(extract_sec, 3)
 
     # sustained rate: the sf corpus alone finishes in ~2 s of compute,
@@ -81,9 +92,7 @@ def main() -> None:
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"), "doc_id", "text"
     ).select(F.concat_ws("-", "rep", "doc_id").alias("doc_id"), "text")
     sustained_job = extract_results(render_documents_raw(reps))
-    t0 = time.perf_counter()
-    _run(sustained_job)
-    sustained_sec = time.perf_counter() - t0
+    sustained_sec = _best_of(sustained_job)
     timings["extract_sustained_32x"] = round(sustained_sec, 3)
 
     # production shape: raw documents already persisted as parquet —
@@ -95,10 +104,13 @@ def main() -> None:
     raw_dir = tempfile.mkdtemp(prefix="bench_raw_") + "/raw"
     render_documents_raw(reps).write.parquet(raw_dir)
     stored = spark.read.parquet(raw_dir)
-    t0 = time.perf_counter()
-    _run(extract_results(stored))
-    storage_sec = time.perf_counter() - t0
+    storage_sec = _best_of(extract_results(stored))
     timings["extract_from_storage_32x"] = round(storage_sec, 3)
+    # same scan with the salt shuffle elided: the parquet layout written
+    # above is already balanced (32-partition write), so the full-byte
+    # reshuffle — the job's largest exchange — is pure overhead here
+    storage_ns_sec = _best_of(extract_results(stored, presalted=True))
+    timings["extract_from_storage_presalted_32x"] = round(storage_ns_sec, 3)
     shutil.rmtree(raw_dir, ignore_errors=True)
 
     for name in HEADLINE:
@@ -119,6 +131,9 @@ def main() -> None:
         "docs_per_sec": round(n_docs / extract_sec, 2),
         "docs_per_sec_sustained": round(n_docs * 32 / sustained_sec, 2),
         "docs_per_sec_storage": round(n_docs * 32 / storage_sec, 2),
+        "docs_per_sec_storage_presalted": round(n_docs * 32 / storage_ns_sec, 2),
+        "loadavg_before": _load0,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -173,6 +173,7 @@ def extract_results(
     partitions: int | None = None,
     model_used: str = DEFAULT_MODEL,
     prompt_version: str = "v1",
+    presalted: bool = False,
 ) -> DataFrame:
     """Single-pass flagship plan: raw docs → ONE results DataFrame that
     contains successful/partial records AND reject stubs (the reference
@@ -184,11 +185,20 @@ def extract_results(
     branch all read the same shuffle output (Spark ReuseExchange), so
     content bytes are scanned/rendered once and shuffled once, and the
     whole job is a single action — no second pass over the corpus to
-    collect rejects."""
+    collect rejects.
+
+    ``presalted``: skip the salt repartition when the source is already
+    well-spread — a bucketed/multi-file parquet table read with
+    ``files.maxPartitionBytes`` sizing gives balanced input splits, and
+    re-shuffling the full byte payload would be the single largest
+    network cost of the job at corpus scale. Use ONLY when the input
+    layout is known-balanced (the salt exists to defuse adversarial
+    clustering: a directory of a few huge files, or doc order
+    correlated with size)."""
     spark = raw.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    salted = raw.repartition(n_part, F.xxhash64("doc_id"))
+    salted = raw if presalted else raw.repartition(n_part, F.xxhash64("doc_id"))
     classified = classify_rejects(salted, max_size_bytes)
     ok = classified.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     sized = _extract_spans_sized(
