@@ -185,20 +185,34 @@ def extract_results(
     branch all read the same shuffle output (Spark ReuseExchange), so
     content bytes are scanned/rendered once and shuffled once, and the
     whole job is a single action — no second pass over the corpus to
-    collect rejects.
+    collect rejects (salted mode; see the presalted trade below).
 
     ``presalted``: skip the salt repartition when the source is already
     well-spread — a bucketed/multi-file parquet table read with
     ``files.maxPartitionBytes`` sizing gives balanced input splits, and
     re-shuffling the full byte payload would be the single largest
-    network cost of the job at corpus scale. Use ONLY when the input
-    layout is known-balanced (the salt exists to defuse adversarial
-    clustering: a directory of a few huge files, or doc order
-    correlated with size)."""
-    spark = raw.sparkSession
-    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    network cost of the job at corpus scale.
 
-    salted = raw if presalted else raw.repartition(n_part, F.xxhash64("doc_id"))
+    THE TRADE, stated plainly: the salt exchange is also the
+    materialization point Spark's ReuseExchange shares across the three
+    union branches (small-doc kernel / oversized shard / reject stubs).
+    Without it there is no scan-reuse rule, so each branch compiles its
+    own scan of the source — up to 3 passes over the content bytes
+    instead of 1 scan + 1 shuffle. Net win when (a) rejects and
+    oversized docs are rare so those branch scans prune to near-nothing
+    via pushed filters and row-group skipping, or (b) scan bytes are
+    cheaper than shuffle bytes on the cluster's storage (columnar reads
+    usually are, ~3:1 or better vs shuffle write+read+spill). Use ONLY
+    when the input layout is known-balanced (the salt also defuses
+    adversarial clustering: few huge files, or doc order correlated
+    with size)."""
+    spark = raw.sparkSession
+
+    if presalted:
+        salted = raw
+    else:
+        n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        salted = raw.repartition(n_part, F.xxhash64("doc_id"))
     classified = classify_rejects(salted, max_size_bytes)
     ok = classified.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     sized = _extract_spans_sized(

@@ -1085,7 +1085,7 @@ _CURRENCY_VARIANTS_SQL = (
     "currency_validate",
     f"""
     WITH v AS (SELECT o_orderkey, {_CURRENCY_VARIANTS_SQL} AS raw
-               FROM orders WHERE o_orderkey % 14 = 0)
+               FROM orders WHERE o_orderkey % 7 = 0)
     SELECT o_orderkey, raw,
            (raw IS NULL OR raw = '' OR upper(raw) = 'EMPTY VALUE'
             OR (TRY_CAST(regexp_replace(raw, '[$,\\s]', '', 'g') AS DOUBLE) IS NOT NULL
@@ -1096,7 +1096,10 @@ _CURRENCY_VARIANTS_SQL = (
 def q_currency_validate(spark, sf_dir):
     from .functions.normalizers import validate_currency_expr
 
-    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 14 == 0)
+    # % 7 keeps both parities of o_orderkey, so ALL six CASE variants
+    # are reachable (a % 14 filter made keys even and % 6 could only hit
+    # 0/2/4 — the negative, empty, and comma branches were never tested)
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     raw = F.expr(_CURRENCY_VARIANTS_SQL)
     return o.select("o_orderkey", raw.alias("raw"), validate_currency_expr(raw).alias("valid"))
 
