@@ -21,7 +21,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .layout import layout_lines
-from .tokenize import _FLAT, _SP, _unescape_str, count_pages, tokenize_content
+from .tokenize import (
+    _FLAT,
+    _INFO_OBJ,
+    _SP,
+    _unescape_str,
+    count_pages,
+    page_marker_offsets,
+    tokenize_content,
+)
 
 INFO_KEYS = [
     ("Title", "title"),
@@ -33,10 +41,14 @@ INFO_KEYS = [
     ("ModDate", "modification_date"),
 ]
 
-# /Key (flat literal string) pairs anywhere in the stream — the info
-# dictionary holds exactly this shape; first occurrence per key wins
-# (an Info dict has unique keys, so this only disambiguates hostile
-# input deterministically).
+# /Key (flat literal string) pairs, scanned ONLY inside an
+# _INFO_OBJ-shaped ``N 0 obj<<…>>endobj`` match (the shape the renderer
+# emits and the tokenizer skips) — like pypdf reading the
+# trailer-referenced /Info object rather than grepping the whole byte
+# stream, so a text run whose CONTENT quotes '/Title (…)' cannot leak
+# into the metadata (r2 advice). First occurrence per key wins (an Info
+# dict has unique keys; this only disambiguates hostile input
+# deterministically).
 _META_RE = re.compile(
     rf"/(Title|Author|Subject|Creator|Producer|CreationDate|ModDate){_SP}*({_FLAT})"
 )
@@ -67,13 +79,14 @@ def parse_info_dict(content: bytes) -> dict[str, str]:
         return out
     text = content.decode("latin-1")
     seen: set[str] = set()
-    for m in _META_RE.finditer(text):
-        key = m.group(1)
-        if key in seen:
-            continue
-        seen.add(key)
-        snake = next(s for k, s in INFO_KEYS if k == key)
-        out[snake] = _unescape_str(m.group(2)[1:-1])
+    for obj in _INFO_OBJ.finditer(text):
+        for m in _META_RE.finditer(obj.group(0)):
+            key = m.group(1)
+            if key in seen:
+                continue
+            seen.add(key)
+            snake = next(s for k, s in INFO_KEYS if k == key)
+            out[snake] = _unescape_str(m.group(2)[1:-1])
     return out
 
 
@@ -84,19 +97,21 @@ def pdf_info(content: bytes | None) -> dict:
     The first-page preview tokenizes only the byte prefix up to the
     SECOND ``%%PAGE`` marker — like pypdf reading pages[0] — so the S3
     scan never pays the full Stage-1 kernel cost on a multi-hundred-page
-    document just to keep 500 chars. (Page-0 runs can only precede the
-    second marker; a hostile stream that re-declares ``%%PAGE 0`` later
-    is out of scope for this info endpoint.)"""
+    document just to keep 500 chars. Marker offsets come from the
+    string-literal-aware scan (tokenize.page_marker_offsets), so a legit
+    doc whose TEXT contains '%%PAGE' neither mis-truncates the preview
+    nor inflates num_pages (r2 advice). (A hostile stream that
+    re-declares ``%%PAGE 0`` later is out of scope for this info
+    endpoint.)"""
     b = content or b""
     info = parse_info_dict(b)
-    first = b.find(b"%%PAGE")
-    second = b.find(b"%%PAGE", first + 1) if first != -1 else -1
-    prefix = b if second == -1 else b[:second]
+    marks = page_marker_offsets(b)
+    prefix = b if len(marks) < 2 else b[: marks[1]]
     runs = tokenize_content(prefix)
     first_page = [t for p, _o, t in layout_lines(runs) if p == 0]
     preview_src = "\n".join(first_page)
     return {
-        "num_pages": count_pages(b),
+        "num_pages": len(marks),
         "size_bytes": len(b),
         "size_mb": round(len(b) / (1024 * 1024), 2),
         **info,

@@ -33,7 +33,41 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """Expression-form cosine (reference semantics spec). Spark HOF
+    lambdas are interpreted per element (measured ~10× slower than one
+    Arrow round-trip — dedup.py header), so the hot rerank paths use
+    ``batch_cosine_udf`` below; this stays as the readable spec and for
+    one-off expression contexts."""
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _leftfold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot with SEQUENTIAL (left-fold) float64 accumulation —
+    np.cumsum computes each running total in order, so the result is
+    bit-identical to the ``F.aggregate`` left fold in ``dot_expr`` and
+    to the pure-Python fixture oracle (tools/make_fixtures.py fold_dot).
+    np.dot/np.matmul would be faster still but sum PAIRWISE, which
+    diverges in the last bits and can flip a round(,6) tie."""
+    return np.cumsum(A * B, axis=1)[:, -1]
+
+
+def batch_cosine_udf():
+    """pandas_udf: (q_vec, cand_vec) → cosine, one vectorized numpy pass
+    per Arrow batch. Replaces the interpreted per-element HOF fold in
+    the ANN rerank hot paths (r2 verdict item 3); left-fold semantics
+    preserved bit-for-bit via ``_leftfold_dot``."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(q: pd.Series, c: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in q])
+        C = np.stack([np.asarray(x, dtype=np.float64) for x in c])
+        num = _leftfold_dot(Q, C)
+        den = np.sqrt(_leftfold_dot(Q, Q)) * np.sqrt(_leftfold_dot(C, C))
+        return pd.Series(num / den)
+
+    return cos
 
 
 def brute_force_topk(
@@ -46,10 +80,11 @@ def brute_force_topk(
     """Exact cosine top-k per query. queries: (query_id, embedding)."""
     q = F.broadcast(queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec")))
     joined = emb.alias("c").crossJoin(q).filter(F.col("query_id") != F.col(id_col))
+    cos = batch_cosine_udf()
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
-        F.round(cosine_expr(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(cos(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -61,7 +96,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature against fixed hyperplanes → one long."""
+    """Sign-bit signature against fixed hyperplanes → one long.
+    Expression-form spec; the data paths use ``lsh_signature_udf`` —
+    this form evaluates one interpreted ``dot_expr`` pass per plane."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
@@ -69,6 +106,29 @@ def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0).cast("long")
         )
         sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_signature_udf(planes: list[list[float]]):
+    """pandas_udf: embedding → sign-bit signature long, all planes in
+    one vectorized pass per Arrow batch (r2 verdict item 3: collapses
+    lsh_signature_expr's per-plane interpreted dot folds). The per-plane
+    dot keeps left-fold accumulation (cumsum over the dim axis) so the
+    sign decisions match the expression form and the fixture oracle
+    bit-for-bit."""
+    P = np.asarray(planes, dtype=np.float64)  # (p, dim)
+    weights = (1 << np.arange(len(planes), dtype=np.uint64)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        E = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
+        # (n, p, dim) products, sequential cumsum along dim == left fold
+        dots = np.cumsum(E[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+        bits = dots > 0  # (n, p)
+        return pd.Series((bits * weights[None, :]).sum(axis=1, dtype=np.int64))
+
     return sig
 
 
@@ -83,23 +143,27 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Bucketed ANN: candidates share the query's LSH bucket; exact
-    cosine rerank within the bucket."""
+    cosine rerank within the bucket. Pass ``dim`` from the caller/schema
+    where known — the ``.first()`` sniff costs one extra driver action
+    per call (r2 verdict item 6 — every in-repo call site passes it)."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    emb_b = emb.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
+    sig = lsh_signature_udf(planes)
+    cos = batch_cosine_udf()
+    emb_b = emb.withColumn("bucket", sig(F.col(vec_col)))
     q_b = F.broadcast(
         queries.select(
             "query_id",
             F.col(vec_col).alias("q_vec"),
-            lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
+            sig(F.col(vec_col)).alias("bucket"),
         )
     )
     joined = emb_b.join(q_b, "bucket").filter(F.col("query_id") != F.col(id_col))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
-        F.round(cosine_expr(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(cos(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -174,10 +238,11 @@ def ivf_topk(
     joined = emb_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("query_id") != F.col(id_col)
     )
+    cos = batch_cosine_udf()
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("cand_id"),
-        F.round(cosine_expr(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(cos(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -190,24 +255,28 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates via shared LSH bucket, exact
-    verify at ``threshold``."""
-    dim = len(emb.select(vec_col).first()[0])
+    verify at ``threshold``. Pass ``dim`` where known to skip the
+    ``.first()`` driver action."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature_udf(planes)
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_signature_expr(F.col(vec_col), planes).alias("bucket"),
+        sig(F.col(vec_col)).alias("bucket"),
     )
     l, r = b.alias("a"), b.alias("b")
     cand = l.join(r, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = batch_cosine_udf()
     return (
         cand.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
+            F.round(cos(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

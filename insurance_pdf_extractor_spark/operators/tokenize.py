@@ -486,8 +486,27 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
     return runs
 
 
+# String-literal-aware %%PAGE scan: flat literal strings and generic
+# comments are consumed by the non-capturing alternatives, so a ``%%PAGE``
+# byte sequence INSIDE a text-run string (a legit doc quoting the marker)
+# or in the tail of another comment is not counted — matching the
+# tokenizer, which only treats a comment TOKEN starting with %%PAGE as a
+# page marker. (Raw content.count(b"%%PAGE") inflated both cases — r2
+# advice.) Nested strings remain the documented interpreter-fallback edge.
+_PAGE_SCAN = re.compile(rf"{_FLAT}|(%%PAGE)[^\r\n]*|%[^\r\n]*")
+
+
+def page_marker_offsets(content: bytes) -> list[int]:
+    """Byte offsets of real %%PAGE comment tokens (latin-1 decode is
+    1:1 byte<->char, so char offsets ARE byte offsets)."""
+    if not content:
+        return []
+    text = content.decode("latin-1")
+    return [m.start() for m in _PAGE_SCAN.finditer(text) if m.group(1) is not None]
+
+
 def count_pages(content: bytes) -> int:
-    return content.count(b"%%PAGE") if content else 0
+    return len(page_marker_offsets(content))
 
 
 @F.pandas_udf(T.ArrayType(RUN))

@@ -99,19 +99,30 @@ def run_extract_job(
     # throws UNABLE_TO_INFER_SCHEMA — substitute an empty frame for
     # exactly that AnalysisException, never for other read failures
     # (those must surface, not silently zero the lineage counters).
+    # Matched on the stable errorClass (not the message text, which
+    # varies across Spark versions); the fallback schema is derived from
+    # the frame that was just written, so it cannot drift if the
+    # documents schema evolves.
     from pyspark.errors import AnalysisException
 
-    def _read_written(path: str, schema: str) -> DataFrame:
+    def _read_written(path: str, written_df: DataFrame) -> DataFrame:
         try:
             return spark.read.parquet(path)
         except AnalysisException as ex:
-            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+            get_cls = getattr(ex, "getErrorClass", None) or getattr(ex, "errorClass", None)
+            cls = get_cls() if callable(get_cls) else get_cls
+            matched = (
+                cls == "UNABLE_TO_INFER_SCHEMA"
+                if cls is not None
+                else "UNABLE_TO_INFER_SCHEMA" in str(ex)  # very old Spark: no errorClass API
+            )
+            if not matched:
                 raise
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], written_df.schema)
 
-    written = _read_written(
-        f"{out_dir}/{DOCUMENTS_DIR}", "bucket int, doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-    ).join(pending.select("bucket").distinct(), "bucket", "left_semi")
+    written = _read_written(f"{out_dir}/{DOCUMENTS_DIR}", docs).join(
+        pending.select("bucket").distinct(), "bucket", "left_semi"
+    )
     doc_stats = written.groupBy("bucket").agg(
         F.count("*").alias("docs_processed"),
         F.sum(F.size("spans")).alias("spans_emitted"),
@@ -119,7 +130,7 @@ def run_extract_job(
         F.max("doc_id").alias("max_doc_id"),
     )
     rej_stats = (
-        _read_written(f"{out_dir}/{REJECTS_DIR}", "bucket int")
+        _read_written(f"{out_dir}/{REJECTS_DIR}", rejects)
         .join(pending.select("bucket").distinct(), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(F.count("*").alias("docs_rejected"))

@@ -41,3 +41,19 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark) and "/" not in target:
         return spark.read.format("iceberg").load(target)
     return spark.read.parquet(target)
+
+
+def read_table_evolved(spark: SparkSession, target: str) -> DataFrame:
+    """Schema-evolution-aware read: rows written before a field was added
+    to the config coexist with rows written after (the old rows surface
+    NULL for the new columns).
+
+    This is the Spark analog of the reference's ALTER-TABLE migration
+    probes (app/services/storage.py:133-155,
+    scripts/migrate_database.py:30-48): Iceberg handles it natively via
+    schema evolution; the parquet fallback unions the per-file schemas
+    with ``mergeSchema`` (footer-level union, no data rewrite — the same
+    no-rewrite contract Iceberg gives)."""
+    if iceberg_available(spark) and "/" not in target:
+        return spark.read.format("iceberg").load(target)
+    return spark.read.option("mergeSchema", True).parquet(target)

@@ -126,3 +126,34 @@ def test_scan_pdf_info_spark(spark, corpus_docs):
         exp = pdf_info(d.content)
         got = rows[d.doc_id]
         assert got == exp, (d.doc_id, got, exp)
+
+
+def test_page_marker_in_string_literal_not_counted():
+    """A legit doc whose TEXT quotes '%%PAGE' must neither inflate
+    num_pages nor truncate the preview (r2 advice: raw byte find)."""
+    doc = (
+        b"%PDF-1.4\n1 0 obj\n<< /Title (T) >>\nendobj\n"
+        b"%%PAGE 0\nBT\n1 2 Td\n(see %%PAGE marker) Tj\nET\n"
+        b"%%PAGE 1\nBT\n1 2 Td\n(p1) Tj\nET\n"
+    )
+    info = pdf_info(doc)
+    assert info["num_pages"] == 2
+    assert "see %%PAGE marker" in info["first_page_preview"]
+    assert "p1" not in info["first_page_preview"]  # cut at the REAL 2nd marker
+
+
+def test_page_marker_inside_comment_tail_not_counted():
+    # the tokenizer treats '% x %%PAGE' as ONE comment token that does
+    # not start with %%PAGE — the scan must agree
+    doc = b"%PDF-1.4\n% note %%PAGE\n%%PAGE 0\nBT\n1 2 Td\n(x) Tj\nET\n"
+    assert pdf_info(doc)["num_pages"] == 1
+
+
+def test_info_keys_inside_text_run_do_not_leak():
+    """'/Title (fake)' appearing in a text-run string must not populate
+    metadata — only an _INFO_OBJ-shaped object is scanned (r2 advice)."""
+    doc = b"%PDF-1.4\nBT\n1 2 Td\n(/Title (fake)) Tj\nET\n"
+    assert parse_info_dict(doc)["title"] == ""
+    real = b"%PDF-1.4\n1 0 obj\n<< /Title (real) /Author (a) >>\nendobj\n"
+    got = parse_info_dict(real)
+    assert got["title"] == "real" and got["author"] == "a"

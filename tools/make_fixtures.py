@@ -252,28 +252,27 @@ def fx_winnow(docs) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "fingerprints": pa.array(fps, pa.string())})
 
 
-def fx_simhash_fingerprints(docs) -> pa.Table:
-    ids = [d for d, _t in docs if d < 200]
-    fps = [simhash(t) for d, t in docs if d < 200]
-    return pa.table({"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(fps, pa.int64())})
-
-
-def fx_simhash_pairs(docs, max_hamming: int = 3) -> pa.Table:
+def fx_simhash(docs, max_hamming: int = 3) -> pa.Table:
+    """Consolidated simhash gate: per-doc fingerprint + the sorted list
+    of near-dup partners (hamming <= max_hamming), serialized — encodes
+    both the fingerprint values and the exact pair identities."""
     sub = [(d, simhash(t)) for d, t in docs if d < 300]
-    ia, ib, ham = [], [], []
+    partners: dict[int, list[int]] = {}
     for x in range(len(sub)):
         for y in range(x + 1, len(sub)):
             (da, fa), (db, fb) = sub[x], sub[y]
             h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
             if h <= max_hamming:
-                ia.append(min(da, db))
-                ib.append(max(da, db))
-                ham.append(h)
+                partners.setdefault(da, []).append(db)
+                partners.setdefault(db, []).append(da)
     return pa.table(
         {
-            "id_a": pa.array(ia, pa.int64()),
-            "id_b": pa.array(ib, pa.int64()),
-            "hamming": pa.array(ham, pa.int32()),
+            "doc_id": pa.array([d for d, _f in sub], pa.int64()),
+            "simhash": pa.array([f for _d, f in sub], pa.int64()),
+            "near_dups": pa.array(
+                [",".join(str(p) for p in sorted(partners.get(d, []))) for d, _f in sub],
+                pa.string(),
+            ),
         }
     )
 
@@ -485,8 +484,7 @@ def main():
     tables = {
         "extract_pipeline_spans": fx_extract_pipeline_spans(docs),
         "winnow_fingerprints": fx_winnow(docs),
-        "simhash_fingerprints": fx_simhash_fingerprints(docs),
-        "simhash_near_dup_pairs": fx_simhash_pairs(docs),
+        "simhash": fx_simhash(docs),
         "minhash_lsh_pairs": fx_minhash_pairs(docs),
         "media_features": fx_media_features(docs),
         "checkpoint_lineage": fx_checkpoint_lineage(docs),

@@ -30,6 +30,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    if v is None:  # sortable sentinel: rows with NULLs must not crash the sort
+        return "\x00<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
