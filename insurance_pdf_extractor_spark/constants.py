@@ -96,16 +96,23 @@ Y_BIN_PT = 4.0
 # Oversized-document sharding threshold for skew defusal (north rule):
 # docs whose content exceeds this many bytes are split into page-range
 # shards before the tokenize stage and reassembled after layout.
-# Sharding pays a machinery cost (chunk shuffle + per-doc merge,
-# measured ~5-10 s for a 47 MB doc), so it only wins wall-time for
-# documents whose SERIAL kernel time exceeds that — but it also bounds
-# executor memory (one doc = one Arrow batch otherwise) and caps
-# straggler-task latency. SHARD_SIZE_BYTES is the cap for callers that
-# raise max_size_bytes; the pipeline derives the EFFECTIVE threshold as
-# min(SHARD_SIZE_BYTES, max_size_bytes * SHARD_FRAC) so the shard path
-# is always reachable under the active size limit (with the default
-# 10 MB cap the threshold is 8 MB — a previous 64 MB-only default made
-# sharding dead code at default config).
+# MEASURED break-even (tools/bench_shard_breakeven.py, fresh JVM per
+# config, 8 cores, round 3): at 8-9 MB sharding costs +6% wall on the
+# block fast path and saves 4% on the interpreter path — i.e. the 8 MB
+# default threshold is wall-time NEUTRAL (within box noise), not the
+# feared multi-second regression (that figure came from a 47 MB doc).
+# Sharding's wall-time WIN is modest even for giants (1.22x at 140 MB,
+# tools/bench_skew.py) because only the tokenize stage parallelizes —
+# the per-doc merge + layout/boilerplate remainder is serial per doc
+# (Amdahl). Its real value at the default threshold is bounding
+# executor memory (one doc = one Arrow batch otherwise) and capping
+# straggler-task latency on the oversized tail. SHARD_SIZE_BYTES is
+# the cap for callers that raise max_size_bytes; the pipeline derives
+# the EFFECTIVE threshold as min(SHARD_SIZE_BYTES, max_size_bytes *
+# SHARD_FRAC) so the shard path is always reachable under the active
+# size limit (with the default 10 MB cap the threshold is 8 MB — a
+# previous 64 MB-only default made sharding dead code at default
+# config).
 SHARD_SIZE_BYTES = 64 * 1024 * 1024
 SHARD_FRAC = 0.8
 SHARD_PAGES = 512
