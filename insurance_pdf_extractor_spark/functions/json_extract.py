@@ -23,6 +23,7 @@ Everything stays inside Catalyst — no UDF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -103,3 +104,58 @@ def parse_llm_response_expr(col: Column) -> Column:
     """Full F1→F2 parse: cascade, then manual scrape; null = the
     reference's ExtractionError path (gemini.py:253-258)."""
     return F.coalesce(extract_json_cascade_expr(col), manual_kv_scrape_expr(col))
+
+
+def parse_llm_response_udf():
+    """Arrow-batched kernel form of :func:`parse_llm_response_expr` —
+    the reference's own re.findall + json.loads loop (gemini.py:213-284)
+    over pandas batches.
+
+    Exists because the expression form leans on higher-order functions
+    (``transform``/``filter``/``exists``) which Catalyst interprets per
+    element (the repo's measured rule, operators/dedup.py:4-7); this
+    kernel crosses Arrow once per batch and runs C-level regex.
+
+    Output parity with the expression form holds on flat JSON objects
+    with string values (the reference's response shape, and the gate
+    query's domain — verified by tests/test_json_extract.py). Known
+    divergences outside that domain, documented rather than hidden:
+    non-string JSON values stringify as Python ``str(v)`` ("1.5",
+    "True") while ``from_json`` keeps the raw token ("1.50", "true");
+    nested-object values stringify as Python dicts instead of raw JSON
+    text.
+    """
+    import json as _json
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pats = [_re.compile(p.replace("(?is)", ""), _re.I | _re.S) for p in JSON_PATTERNS]
+    kv_pats = [_re.compile(_KV_QUOTED), _re.compile(_KV_BARE)]
+    strip_dq = _re.compile(r'^"|"$')
+    strip_sq = _re.compile(r"^'|'$")
+
+    def _parse_one(s):
+        if s is None:
+            return None
+        for p in pats:
+            for m in p.findall(s):
+                try:
+                    obj = _json.loads(m.strip())
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and obj:
+                    return {str(k): (None if v is None else str(v)) for k, v in obj.items()}
+        out: dict[str, str] = {}
+        for rex in kv_pats:  # later pattern overwrites: reference dict loop
+            for k, v in rex.findall(s):
+                v = strip_sq.sub("", strip_dq.sub("", v.strip()))
+                if v and v != "null":
+                    out[k.lower().strip()] = v
+        return out or None
+
+    @pandas_udf("map<string,string>")
+    def _parse(col: pd.Series) -> pd.Series:
+        return col.map(_parse_one)
+
+    return _parse

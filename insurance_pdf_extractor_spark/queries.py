@@ -853,7 +853,13 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     """,
 )
 def q_json_extract_cascade(spark, sf_dir):
-    from .functions.json_extract import parse_llm_response_expr
+    # Kernel (pandas_udf) path is the default: 2.36x faster than the
+    # expression cascade at 2M responses (tools/bench_json_extract.py,
+    # BENCH.md) and byte-for-byte the reference's re.findall +
+    # json.loads loop; the expression form stays in json_extract.py as
+    # the SQL-expressible semantics spec, parity-tested on this domain
+    # (tests/test_json_extract.py::test_udf_kernel_parity).
+    from .functions.json_extract import parse_llm_response_udf
 
     o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
     key = F.col("o_orderkey").cast("string")
@@ -873,7 +879,7 @@ def q_json_extract_cascade(spark, sf_dir):
             )
         )
     )
-    m = parse_llm_response_expr(resp)
+    m = parse_llm_response_udf()(resp)
     return o.select(
         "o_orderkey",
         m.getItem("order_key").alias("order_key"),

@@ -72,3 +72,29 @@ def test_last_pattern_overwrites(spark):
     # reference's dict loop overwrites -> LAST_WIN map semantics
     out = _parse(spark, ['"field": "quoted value"'], manual_kv_scrape_expr)
     assert out[0]["field"] == "quoted value"
+
+
+def test_udf_kernel_parity(spark):
+    # the Arrow pandas_udf kernel must agree with the expression cascade
+    # on the reference's response domain (flat string-valued objects +
+    # the KV fallback shapes) — every case above, plus the gate query's
+    # four variants
+    from insurance_pdf_extractor_spark.functions.json_extract import parse_llm_response_udf
+
+    texts = [
+        'Here you go:\n```json\n{"quote_number": "WC-123", "premium": "$1,000"}\n```\ndone',
+        '```\n{"a": "generic block"}\n```',
+        'the JSON {"a": "keyword"} trailing',
+        'prefix {"a": "bare"} suffix',
+        '```json\n{not valid json}\n```\n{"a": "recovered"}',
+        "```json\n{}\n```ok",
+        'quote_number: "WC-9"\n"status": partial\nempty_field: \nnull_field: null',
+        "I'm sorry, I cannot process this document.",
+        '"field": "quoted value"',
+        '```json\n{broken\n```\norder_key: "42"\npriority: "URGENT"',
+        None,
+    ]
+    expr_out = _parse(spark, [t if t is not None else "" for t in texts])
+    udf = parse_llm_response_udf()
+    udf_out = _parse(spark, [t if t is not None else "" for t in texts], lambda c: udf(c))
+    assert expr_out == udf_out
