@@ -61,14 +61,27 @@ def effective_shard_size(max_size_bytes: int, shard_size_bytes: int | None) -> i
 def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) -> DataFrame:
     """P1-P3: size cap (app/services/pdf_processor.py:355-360), magic
     bytes (app/utils/file_helpers.py:15-50), zero pages
-    (app/services/pdf_processor.py:366-368)."""
+    (app/services/pdf_processor.py:366-368).
+
+    When the source carries a ``magic`` prefix column (written by
+    render_documents_raw / any ingest that stores the first 5 bytes),
+    the magic check uses it instead of slicing ``content`` — so the
+    reject branch of the extraction plan never references the content
+    column and its scan prunes to metadata width. At corpus scale that
+    is the difference between the reject side-output being free and it
+    re-reading every content byte (the reject predicate itself is a
+    CASE expression parquet cannot evaluate, so only column pruning —
+    not row filtering — can save that scan)."""
+    if "magic" in raw.columns:
+        magic_bad = F.col("magic").isNull() | (F.col("magic") != F.lit(PDF_MAGIC))
+    else:
+        magic_bad = F.col("content").isNull() | (
+            F.substring(F.col("content").cast("binary"), 1, 5) != F.lit(PDF_MAGIC)
+        )
     return raw.withColumn(
         "reject_reason",
         F.when(F.col("size_bytes") > max_size_bytes, "size_exceeds_limit")
-        .when(
-            F.col("content").isNull() | (F.substring(F.col("content").cast("binary"), 1, 5) != F.lit(PDF_MAGIC)),
-            "invalid_pdf",
-        )
+        .when(magic_bad, "invalid_pdf")
         .when(F.col("n_pages") <= 0, "no_pages"),
     )
 
@@ -180,32 +193,33 @@ def extract_results(
     stores failed extractions in the same `extractions` table,
     app/services/storage.py:167-306).
 
-    Scale shape: the salt repartition is ONE materialized exchange; the
-    ok-kernel branch, the oversized-shard branch, and the reject-stub
-    branch all read the same shuffle output (Spark ReuseExchange), so
-    content bytes are scanned/rendered once and shuffled once, and the
-    whole job is a single action — no second pass over the corpus to
-    collect rejects (salted mode; see the presalted trade below).
+    Scale shape (what the physical plan ACTUALLY compiles to — earlier
+    rounds claimed ReuseExchange shared one salt exchange across the
+    branches; inspection of the plan shows the optimizer instead pushes
+    each branch's filter BELOW its salt exchange, which defeats
+    exchange reuse but produces something just as good):
+
+    - three branch scans of the source, each pruned: the small-doc
+      branch carries ``size_bytes <= shard_threshold`` as a pushed
+      parquet filter (reads ~the whole corpus — it IS the corpus); the
+      oversized branch carries ``size_bytes > shard_threshold`` (row-
+      group statistics skip ~everything); the reject branch reads only
+      metadata-width columns (doc_id, size_bytes, n_pages, magic) —
+      never ``content`` — when the source has a ``magic`` prefix
+      column (see classify_rejects), so it costs ~nothing despite its
+      CASE predicate being unpushable.
+    - each branch shuffles only ITS filtered subset, so the union's
+      total shuffle volume is one corpus, not three.
+    - one action for records + rejects — no second job over the corpus.
 
     ``presalted``: skip the salt repartition when the source is already
     well-spread — a bucketed/multi-file parquet table read with
     ``files.maxPartitionBytes`` sizing gives balanced input splits, and
-    re-shuffling the full byte payload would be the single largest
-    network cost of the job at corpus scale.
-
-    THE TRADE, stated plainly: the salt exchange is also the
-    materialization point Spark's ReuseExchange shares across the three
-    union branches (small-doc kernel / oversized shard / reject stubs).
-    Without it there is no scan-reuse rule, so each branch compiles its
-    own scan of the source — up to 3 passes over the content bytes
-    instead of 1 scan + 1 shuffle. Net win when (a) rejects and
-    oversized docs are rare so those branch scans prune to near-nothing
-    via pushed filters and row-group skipping, or (b) scan bytes are
-    cheaper than shuffle bytes on the cluster's storage (columnar reads
-    usually are, ~3:1 or better vs shuffle write+read+spill). Use ONLY
-    when the input layout is known-balanced (the salt also defuses
-    adversarial clustering: few huge files, or doc order correlated
-    with size)."""
+    re-shuffling the full byte payload (the job's single largest
+    network cost) buys nothing. Use salted mode when the layout is
+    unknown or adversarial (few huge files, doc order correlated with
+    size); measured on a balanced layout, presalted is strictly faster
+    (BENCH.md)."""
     spark = raw.sparkSession
 
     if presalted:

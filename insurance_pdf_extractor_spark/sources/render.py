@@ -70,13 +70,23 @@ def render_text(doc_id: str, text: str, meta: dict[str, str] | None = None) -> t
 
 
 @F.pandas_udf(RENDERED)
-def render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+def _render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     contents, n_pages = [], []
     for d, t in zip(doc_id, text):
         c, n = render_text(str(d), t)
         contents.append(c)
         n_pages.append(n)
     return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
+# Rendering IS a pure function of (doc_id, text); asNondeterministic()
+# only withdraws Catalyst's license to DUPLICATE the call — without it,
+# pushing the pipeline's validity filters (which reference rendered
+# content) below the spread exchange re-evaluated the render UDF a
+# second time per union branch (observed in the physical plan: two
+# ArrowEvalPython render nodes per branch, 6 renders of the corpus for
+# a 3-branch plan).
+render_udf = _render_udf.asNondeterministic()
 
 
 def render_documents_raw(documents: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -103,4 +113,10 @@ def render_documents_raw(documents: DataFrame, partitions: int | None = None) ->
         F.expr("array()").cast("array<struct<media_ref:string,offset:int>>").alias("media"),
         F.col("r.n_pages").alias("n_pages"),
         F.length("r.content").cast("long").alias("size_bytes"),
+        # tiny magic-prefix column: lets the pipeline's reject branch
+        # classify without touching the content column at all — when
+        # this frame is persisted as parquet, the reject scan prunes to
+        # metadata-width instead of re-reading every content byte
+        # (plans/pipeline.py:classify_rejects)
+        F.substring(F.col("r.content"), 1, 5).alias("magic"),
     )
