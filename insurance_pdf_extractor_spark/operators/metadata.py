@@ -26,8 +26,7 @@ from .tokenize import (
     _INFO_OBJ,
     _SP,
     _unescape_str,
-    count_pages,
-    page_marker_offsets,
+    page_marker_offsets_text,
     tokenize_content,
 )
 
@@ -71,13 +70,17 @@ PDF_INFO = T.StructType(
 )
 
 
-def parse_info_dict(content: bytes) -> dict[str, str]:
+def parse_info_dict(content: bytes, text: str | None = None) -> dict[str, str]:
     """Info-dict values keyed by the reference's snake_case names,
-    '' for absent keys (pdf_processor.py:469-477 defaults)."""
+    '' for absent keys (pdf_processor.py:469-477 defaults). Pass
+    ``text`` (the latin-1 decode of ``content``) when the caller has
+    already decoded — pdf_info scans the full document twice (info
+    objects + page markers) and should pay the decode once."""
     out = {snake: "" for _k, snake in INFO_KEYS}
     if not content:
         return out
-    text = content.decode("latin-1")
+    if text is None:
+        text = content.decode("latin-1")
     seen: set[str] = set()
     for obj in _INFO_OBJ.finditer(text):
         for m in _META_RE.finditer(obj.group(0)):
@@ -104,8 +107,9 @@ def pdf_info(content: bytes | None) -> dict:
     re-declares ``%%PAGE 0`` later is out of scope for this info
     endpoint.)"""
     b = content or b""
-    info = parse_info_dict(b)
-    marks = page_marker_offsets(b)
+    text = b.decode("latin-1")  # one decode feeds both full-doc scans
+    info = parse_info_dict(b, text=text)
+    marks = page_marker_offsets_text(text)
     prefix = b if len(marks) < 2 else b[: marks[1]]
     runs = tokenize_content(prefix)
     first_page = [t for p, _o, t in layout_lines(runs) if p == 0]

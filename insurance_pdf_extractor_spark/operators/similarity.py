@@ -51,21 +51,70 @@ def _leftfold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.cumsum(A * B, axis=1)[:, -1]
 
 
+def _vec_rows(series: pd.Series):
+    """Per-row float64 arrays + validity mask. None / non-1-d / empty
+    entries are invalid (arrs[i] is None). Keeps the vectorized kernels
+    from crashing the whole task on one null or ragged embedding — the
+    expression forms null-propagate, so the kernels must too."""
+    arrs, valid = [], []
+    for x in series:
+        if x is None:
+            arrs.append(None)
+            valid.append(False)
+            continue
+        a = np.asarray(x, dtype=np.float64)
+        if a.ndim != 1 or a.size == 0:
+            arrs.append(None)
+            valid.append(False)
+        else:
+            arrs.append(a)
+            valid.append(True)
+    return arrs, np.asarray(valid, dtype=bool)
+
+
+def _with_nulls(out: np.ndarray, valid: np.ndarray) -> pd.Series:
+    """float64 results → Series, invalid rows as real nulls (not NaN —
+    Spark sorts NaN above every number, so a crashed row would rank
+    FIRST in a desc top-k; null sorts last). Fast path: all-valid
+    batches stay a plain float64 Series."""
+    res = pd.Series(out)
+    if not valid.all():
+        res = res.astype(object)
+        res[~valid] = None
+    return res
+
+
 def batch_cosine_udf():
     """pandas_udf: (q_vec, cand_vec) → cosine, one vectorized numpy pass
     per Arrow batch. Replaces the interpreted per-element HOF fold in
     the ANN rerank hot paths (r2 verdict item 3); left-fold semantics
-    preserved bit-for-bit via ``_leftfold_dot``."""
+    preserved bit-for-bit via ``_leftfold_dot``. Null/ragged pairs
+    yield null (the expression form's behavior) instead of failing the
+    task; valid rows are grouped by dimensionality so one odd-length
+    vector cannot break the stack."""
 
     @F.pandas_udf(T.DoubleType())
     def cos(q: pd.Series, c: pd.Series) -> pd.Series:
-        if len(q) == 0:
+        n = len(q)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        Q = np.stack([np.asarray(x, dtype=np.float64) for x in q])
-        C = np.stack([np.asarray(x, dtype=np.float64) for x in c])
-        num = _leftfold_dot(Q, C)
-        den = np.sqrt(_leftfold_dot(Q, Q)) * np.sqrt(_leftfold_dot(C, C))
-        return pd.Series(num / den)
+        qa, qv = _vec_rows(q)
+        ca, cv = _vec_rows(c)
+        valid = qv & cv
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            if valid[i] and qa[i].shape == ca[i].shape:
+                groups.setdefault(qa[i].shape[0], []).append(i)
+            else:
+                valid[i] = False
+        out = np.full(n, np.nan)
+        for idxs in groups.values():
+            Q = np.stack([qa[i] for i in idxs])
+            C = np.stack([ca[i] for i in idxs])
+            num = _leftfold_dot(Q, C)
+            den = np.sqrt(_leftfold_dot(Q, Q)) * np.sqrt(_leftfold_dot(C, C))
+            out[idxs] = num / den
+        return _with_nulls(out, valid)
 
     return cos
 
@@ -121,13 +170,24 @@ def lsh_signature_udf(planes: list[list[float]]):
 
     @F.pandas_udf(T.LongType())
     def sig(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype="int64")
-        E = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
-        # (n, p, dim) products, sequential cumsum along dim == left fold
-        dots = np.cumsum(E[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
-        bits = dots > 0  # (n, p)
-        return pd.Series((bits * weights[None, :]).sum(axis=1, dtype=np.int64))
+        arrs, valid = _vec_rows(v)
+        valid &= np.asarray([a is not None and a.shape[0] == P.shape[1] for a in arrs])
+        out = np.zeros(n, dtype=np.int64)
+        idxs = np.flatnonzero(valid)
+        if idxs.size:
+            E = np.stack([arrs[i] for i in idxs])  # (n_valid, dim)
+            # (n, p, dim) products, sequential cumsum along dim == left fold
+            dots = np.cumsum(E[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+            bits = dots > 0  # (n_valid, p)
+            out[idxs] = (bits * weights[None, :]).sum(axis=1, dtype=np.int64)
+        res = pd.Series(out)
+        if not valid.all():  # null bucket → bucket join drops the row
+            res = res.astype(object)
+            res[~valid] = None
+        return res
 
     return sig
 
@@ -177,12 +237,21 @@ def _pick_centroids(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str)
     closure (broadcast), never through a shuffle."""
     rows = (
         emb.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())  # a null embedding can't seed a centroid
         .withColumn("_hk", F.xxhash64(F.col(id_col).cast("string")))
         .orderBy("_hk", id_col)
         .limit(n_centroids)
         .collect()
     )
-    c = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    vecs = [list(r[vec_col]) for r in rows]
+    if not vecs:
+        raise ValueError("no non-null embeddings to sample centroids from")
+    # ragged stragglers (wrong-length vectors) can't join the stack;
+    # keep the majority dimensionality — _cell_assign_udf nulls them out
+    from collections import Counter
+
+    dim = Counter(len(v) for v in vecs).most_common(1)[0][0]
+    c = np.asarray([v for v in vecs if len(v) == dim], dtype=np.float64)
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
 
@@ -193,11 +262,21 @@ def _cell_assign_udf(centroids: np.ndarray, n_probe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(v: pd.Series) -> pd.Series:
-        E = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-        sims = E @ C.T  # (batch, m)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.tolist() for row in top])
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs, valid = _vec_rows(v)
+        valid &= np.asarray([a is not None and a.shape[0] == C.shape[1] for a in arrs])
+        out: list[list[int] | None] = [None] * n  # null cells → cell join drops the row
+        idxs = np.flatnonzero(valid)
+        if idxs.size:
+            E = np.stack([arrs[i] for i in idxs])
+            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            sims = E @ C.T  # (n_valid, m)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            for j, i in enumerate(idxs):
+                out[i] = top[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return assign
 

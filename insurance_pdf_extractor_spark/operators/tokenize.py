@@ -501,7 +501,13 @@ def page_marker_offsets(content: bytes) -> list[int]:
     1:1 byte<->char, so char offsets ARE byte offsets)."""
     if not content:
         return []
-    text = content.decode("latin-1")
+    return page_marker_offsets_text(content.decode("latin-1"))
+
+
+def page_marker_offsets_text(text: str) -> list[int]:
+    """Same scan over an already-decoded latin-1 text — lets callers
+    that need several full-document scans (metadata.pdf_info) decode
+    the bytes exactly once."""
     return [m.start() for m in _PAGE_SCAN.finditer(text) if m.group(1) is not None]
 
 

@@ -71,7 +71,14 @@ def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) 
     is the difference between the reject side-output being free and it
     re-reading every content byte (the reject predicate itself is a
     CASE expression parquet cannot evaluate, so only column pruning —
-    not row filtering — can save that scan)."""
+    not row filtering — can save that scan).
+
+    Contract: a present ``magic`` column must be non-null for every row
+    with readable content — the render path always writes it, and
+    ``read_table_evolved`` backfills it for legacy rows read through
+    schema evolution. Under that contract ``magic IS NULL`` genuinely
+    means unreadable content, so the fast path may reject on it without
+    touching ``content``."""
     if "magic" in raw.columns:
         magic_bad = F.col("magic").isNull() | (F.col("magic") != F.lit(PDF_MAGIC))
     else:

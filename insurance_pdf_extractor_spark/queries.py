@@ -65,14 +65,26 @@ def _fx(name: str) -> str | None:
         listed: list[str] = []
         if _os.path.exists(manifest):
             try:
-                listed = _json.load(open(manifest)).get("fixtures", [])
+                with open(manifest) as fh:
+                    listed = _json.load(fh).get("fixtures", [])
             except Exception:
                 pass
         if name in listed:
-            raise FileNotFoundError(
-                f"fixture fx_{name}.parquet is listed in fixtures/MANIFEST.json "
-                "but missing on disk — regenerate with `python tools/make_fixtures.py` "
-                "(refusing to silently downgrade a value-checked gate to rows-only)"
+            # _fx runs inside module-level @register decorators, so
+            # raising HERE would break `import queries` for all 50
+            # gates. Confine the blast radius to this gate: emit an
+            # oracle that fails inside DuckDB with the real message —
+            # the gate stays value-checked and fails LOUD, everything
+            # else keeps running.
+            _warnings.warn(
+                f"fixture fx_{name}.parquet is listed in fixtures/MANIFEST.json but "
+                "missing on disk — its gate WILL fail; regenerate with "
+                "`python tools/make_fixtures.py`",
+                stacklevel=2,
+            )
+            return (
+                f"SELECT error('fixture fx_{name}.parquet missing on disk but listed in "
+                f"fixtures/MANIFEST.json — regenerate with `python tools/make_fixtures.py`')"
             )
         _warnings.warn(
             f"fixture fx_{name}.parquet not generated — gate '{name}' downgraded to "

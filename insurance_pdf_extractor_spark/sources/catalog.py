@@ -53,7 +53,27 @@ def read_table_evolved(spark: SparkSession, target: str) -> DataFrame:
     scripts/migrate_database.py:30-48): Iceberg handles it natively via
     schema evolution; the parquet fallback unions the per-file schemas
     with ``mergeSchema`` (footer-level union, no data rewrite — the same
-    no-rewrite contract Iceberg gives)."""
+    no-rewrite contract Iceberg gives).
+
+    Backfill contract: rows written before the ``magic`` prefix column
+    existed surface ``magic = NULL`` here, which downstream
+    ``classify_rejects`` would read as invalid_pdf (its fast path
+    trusts a present magic column so the reject scan stays
+    metadata-width). This read — the only place legacy rows enter —
+    recomputes the prefix from ``content`` for those rows. The
+    coalesce references ``content``, so an evolved read does not get
+    the metadata-only reject scan; that cost is confined to
+    mixed-generation tables and disappears once a maintenance rewrite
+    materializes the column."""
     if iceberg_available(spark) and "/" not in target:
-        return spark.read.format("iceberg").load(target)
-    return spark.read.option("mergeSchema", True).parquet(target)
+        df = spark.read.format("iceberg").load(target)
+    else:
+        df = spark.read.option("mergeSchema", True).parquet(target)
+    if "magic" in df.columns and "content" in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "magic",
+            F.coalesce(F.col("magic"), F.substring(F.col("content").cast("binary"), 1, 5)),
+        )
+    return df

@@ -221,3 +221,29 @@ def test_ivf_topk_recall(emb_df):
     p1 = {r["query_id"]: r["cand_id"] for r in part.filter(F.col("rank") == 1).collect()}
     hits = sum(1 for q, c in ex1.items() if p1.get(q) == c)
     assert hits >= 1
+
+
+def test_ann_kernels_null_and_ragged_embeddings(spark):
+    """One null or wrong-length embedding must not fail the task — the
+    kernels null-propagate like the expression forms (bad rows rank
+    last / drop out), instead of np.stack raising on a ragged batch."""
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    rows.append((100, None))  # null embedding
+    rows.append((101, [1.0, 2.0]))  # ragged (dim 2, corpus is dim 8)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    bf = similarity.brute_force_topk(emb, queries, k=5).collect()
+    assert len(bf) == 5 and all(r["cand_id"] < 100 for r in bf)
+
+    lsh = similarity.lsh_topk(emb, queries, k=5, n_planes=4, dim=8).collect()
+    assert all(r["cand_id"] < 100 for r in lsh)  # null bucket -> join drops
+
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=4, n_probe=4).collect()
+    assert len(ivf) == 5 and all(r["cand_id"] < 100 for r in ivf)
+
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.99, dim=8).collect()
+    assert all(r["id_a"] < 100 and r["id_b"] < 100 for r in pairs)

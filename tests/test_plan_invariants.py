@@ -3,7 +3,10 @@
 Correctness gates prove the RESULTS right; these prove the PLANS stay
 the shape that survives 100 TB (SURVEY §6, BENCH.md plan audit):
 pushed filters, pruned scans, broadcast joins where a side is small,
-the salt exchange reused across the extraction branches, and — the
+each extraction branch shuffling only its filtered subset (pushdown
+differentiates the branch exchanges, so ReuseExchange does NOT fire —
+the reject branch instead stays metadata-width via the pushed `magic`
+prefix column), and — the
 north rule's hard requirement — no row-at-a-time Python anywhere
 (Arrow `ArrowEvalPython`/`MapInPandas`/`FlatMapGroupsInPandas` nodes
 allowed, legacy `BatchEvalPython` banned).

@@ -19,6 +19,7 @@ Usage: python tools/verify_queries.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import numbers
 import sys
 from pathlib import Path
 
@@ -30,17 +31,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
-    if v is None:  # sortable sentinel: rows with NULLs must not crash the sort
-        return "\x00<NULL>"
-    if isinstance(v, float):
+    """Type-tagged (sort_class, value) tuples so mixed cells in one
+    column — NULL vs number, NaN vs number — sort without TypeError.
+    A bare string sentinel only survives next to other strings; a null
+    in a double column crashed the sort it claimed to fix."""
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+            return (3, "nan")
+        return (1, round(v, 9))
+    if isinstance(v, numbers.Number):  # int, np.int*, Decimal — numeric class shared with float
+        return (1, v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return (2, v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return (4, tuple(norm_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return (5, bytes(v))
+    return (2, v) if isinstance(v, str) else (6, str(v))
 
 
 def frame_key(cols, rows):
@@ -107,8 +118,8 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
+            dtypes = [str(d[1]) for d in res.description]
             drows = res.fetchall()
-            dpdf = con.execute(oracles[name]).df()
         except Exception as ex:
             failures.append((name, f"duckdb error: {ex}"))
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
@@ -120,27 +131,32 @@ def main():
         # temporal-unit differences (int32 vs int64, datetime64[ns] vs
         # [us], date-as-object vs datetime64) all passed the r2 driver
         # hash, so only a numeric-KIND disagreement (int vs float) is a
-        # hard failure; anything else prints a note.
+        # hard failure. DuckDB's pandas kind is derived from the result
+        # DESCRIPTION (its documented ->pandas mapping) rather than by
+        # executing the oracle a second time for a .df().
         def _kind(dt):
             k = dt.kind
-            return {"i": "int", "u": "int", "f": "float", "M": "datetime", "m": "timedelta"}.get(k, "object")
+            return {"i": "int", "u": "int", "f": "float"}.get(k, "other")
 
-        dt_bad, dt_note = [], []
+        def _duck_kind(tname):
+            t = str(tname).upper()
+            if t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE", "REAL", "HUGEINT", "UHUGEINT"):
+                return "float"  # HUGEINT/DECIMAL land in pandas as float64
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            return "other"
+
+        duck_kinds = dict(zip(dcols, (_duck_kind(t) for t in dtypes)))
+        dt_bad = []
         for c in pdf.columns:
-            if c not in dpdf.columns or pdf[c].dtype == dpdf[c].dtype:
-                continue
-            ks, kd = _kind(pdf[c].dtype), _kind(dpdf[c].dtype)
-            item = (c, str(pdf[c].dtype), str(dpdf[c].dtype))
+            ks, kd = _kind(pdf[c].dtype), duck_kinds.get(c, "other")
             if {ks, kd} == {"int", "float"}:
-                dt_bad.append(item)
-            else:
-                dt_note.append(item)
+                dt_bad.append((c, str(pdf[c].dtype), duck_kinds.get(c)))
         if dt_bad:
             failures.append((name, f"int/float kind mismatch: {dt_bad}"))
             print(f"FAIL {name}: int vs float dtype kind (spark vs duckdb): {dt_bad}")
             continue
-        if dt_note:
-            print(f"note {name}: benign dtype width diff: {dt_note}")
         if len(srows) != len(drows):
             failures.append((name, f"row count {len(srows)} vs {len(drows)}"))
             print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
