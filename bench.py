@@ -35,8 +35,8 @@ HEADLINE = [
     "search_filters",          # P4+O1: pushed-down predicates + top-k
     "dedup_exact",             # hash-groupBy exact dedup over documents
     "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
-    "token_counts",            # tokenization stats over documents
-    "quality_scores",          # quality scoring over documents
+    "dedup_clusters",          # connected components over the near-dup pair graph
+    "text_quality",            # tokenization stats + quality scoring over documents
     "cosine_topk",             # brute-force cosine top-k ANN baseline
     "ann_ivf_topk",            # IVF-cell ANN scale path
     "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip

@@ -286,3 +286,98 @@ def simhash_near_dup_pairs(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    after pair generation in a training-data dedup pipeline: groups of
+    mutually-near documents become clusters, and the cluster id (the
+    component's minimum node id) names the canonical document to keep.
+
+    Returns (id, cluster_id) for every node appearing in ``pairs``;
+    isolated documents never enter the graph, so callers re-attach them
+    with a left join + ``coalesce(cluster_id, doc_id)``.
+
+    Algorithm: min-label propagation with pointer doubling
+    (label ← label(label), i.e. path halving), pure DataFrame ops — the
+    hash-to-min family of MapReduce connected-components algorithms
+    (Rastogi et al., "Finding Connected Components in Map-Reduce in
+    Logarithmic Rounds", ICDE 2013). Doubling makes convergence
+    O(log diameter) rounds, not O(diameter): a 10^6-long chain of
+    chained near-dups resolves in ~20 rounds instead of 10^6.
+
+    Scale audit (BENCH.md table): each round shuffles slim (node,
+    label) longs — 16 bytes/row — twice (one groupBy-min over edges,
+    one self-join for the doubling); edges are shuffled once per round
+    at (src, dst) width. Near-dup graphs at corpus scale are sparse
+    (pairs ≪ docs), so every shuffle is bounded by the pair count, not
+    the corpus. Each round ends with ``localCheckpoint`` to truncate
+    lineage — iterative self-joins otherwise grow the logical plan
+    exponentially and stall the driver long before the executors; a
+    cluster deployment would use ``checkpoint()`` to reliable storage
+    so a lost executor cannot orphan the truncated lineage. The
+    per-round convergence test is a count() whose RESULT is O(1) — an
+    unavoidable driver action for an iterative fixpoint, not a data
+    collect.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+
+    # seed: label(v) = min(v, min neighbor) — one groupBy over the
+    # symmetrized edges; every graph node appears as a src there.
+    lab = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(F.col("src").alias("node"), F.least(F.col("src"), F.col("_mn")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iter):
+        # propagate: each node takes the min label over its neighbors
+        nbr = (
+            sym.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("dst", "node")
+        )
+        # eager checkpoint: ``stepped`` feeds BOTH sides of the doubling
+        # self-join below — unmaterialized, the propagation join would
+        # run twice per round.
+        stepped = (
+            lab.join(nbr, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: label ← label(label). Labels are always node
+        # ids within the same component (induction from the seed), so
+        # the lookup is a self-join on the label table.
+        nxt = (
+            stepped.alias("x")
+            .join(
+                stepped.select(F.col("node").alias("label"), F.col("label").alias("_ll")).alias("y"),
+                "label",
+                "left",
+            )
+            .select("node", F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.withColumnRenamed("label", "_new")
+            .join(lab, "node")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        lab = nxt
+        if changed == 0:
+            break
+
+    return lab.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))

@@ -513,35 +513,18 @@ def q_clean_text(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# token counting (training-data ops)
+# token counting + quality scoring (training-data ops) — ONE gate row
+# covering both operators (50-query driver window; same consolidation
+# precedent as currency_clean/F5+F6): every token-count column AND the
+# quality score value-match per document, strictly as strong as the
+# two separate gates it replaces.
 # ---------------------------------------------------------------------------
 @register(
-    "token_counts",
+    "text_quality",
     """
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_bpe_ish
-    FROM documents
-    """,
-)
-def q_token_counts(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        tq.token_count_expr(F.col("text")).alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
-            "n_bpe_ish"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# quality scoring (training-data ops)
-# ---------------------------------------------------------------------------
-@register(
-    "quality_scores",
-    """
-    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_bpe_ish,
            round(0.4 * least(n_chars / 500.0, 1.0)
                + 0.4 * least(5.0 * len(regexp_extract_all(lower(text),
                      '\\b(the|a|of|to|and|in|is|on|for|with)\\b'))
@@ -552,9 +535,16 @@ def q_token_counts(spark, sf_dir):
     FROM documents
     """,
 )
-def q_quality_scores(spark, sf_dir):
+def q_text_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
-    return d.select("doc_id", tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"))
+    return d.select(
+        "doc_id",
+        tq.token_count_expr(F.col("text")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
+            "n_bpe_ish"
+        ),
+        tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1543,6 +1533,18 @@ def q_minhash_pairs(spark, sf_dir):
     # documents are all-distinct random text; lower threshold surfaces
     # the near-dup candidates the banding produces
     return dedup.minhash_lsh_pairs(d, min_jaccard=0.2)
+
+
+# Connected components over the SAME minhash pair graph: cluster id =
+# component minimum = the canonical doc a dedup pipeline keeps. Oracle
+# is an independent pure-Python union-find over the independently
+# recomputed pair list (tools/make_fixtures.py:fx_dedup_clusters) — it
+# shares no code with the DataFrame pointer-doubling implementation.
+@register("dedup_clusters", _fx("dedup_clusters"))
+def q_dedup_clusters(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, min_jaccard=0.2)
+    return dedup.dedup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
 # SimHash fingerprints + near-dup pairs consolidated into ONE gate row

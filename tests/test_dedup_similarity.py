@@ -247,3 +247,54 @@ def test_ann_kernels_null_and_ragged_embeddings(spark):
 
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.99, dim=8).collect()
     assert all(r["id_a"] < 100 and r["id_b"] < 100 for r in pairs)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Random sparse graph: the DataFrame connected-components labels
+    must equal an independent union-find's component minima."""
+    rng = random.Random(7)
+    pairs = sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(60)})
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pdf).collect()}
+    expected = _union_find(pairs)
+    # union-find roots are per-merge-order; canonicalize to component min
+    comp = {}
+    for n, r in expected.items():
+        comp.setdefault(r, []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+    assert got == want
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 60-node chain has diameter 59 — plain min-label propagation
+    needs 59 rounds, far over max_iter=25; pointer doubling must get
+    there in ~log2(60) rounds."""
+    pairs = [(i, i + 1) for i in range(59)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pdf).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_dedup_clusters_empty_and_self_pairs(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dedup_clusters(empty).count() == 0
+    selfp = spark.createDataFrame([(3, 3), (4, 5)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(selfp).collect()}
+    assert got == {4: 4, 5: 4}

@@ -82,7 +82,7 @@ def test_search_filters_pushdown_and_pruning(spark, registry):
 def test_documents_scans_prune_to_used_columns(spark, registry):
     """Text-analysis queries read (doc_id, text) — the scan must not
     drag the rest of the documents schema along."""
-    for name in ("token_counts", "quality_scores", "lang_guess"):
+    for name in ("text_quality", "lang_guess"):
         plan = _plan(spark, registry[name](spark, SF_DIR))
         read = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert read, f"{name}: no parquet ReadSchema in plan"

@@ -277,7 +277,10 @@ def fx_simhash(docs, max_hamming: int = 3) -> pa.Table:
     )
 
 
-def fx_minhash_pairs(docs, n_hashes=64, bands=16, k=3, min_jaccard=0.2) -> pa.Table:
+def minhash_pair_list(docs, n_hashes=64, bands=16, k=3, min_jaccard=0.2) -> list[tuple[int, int, float]]:
+    """Shared by the pair fixture and the clusters fixture — the
+    clusters oracle must run over the SAME pair graph the gate query
+    produces."""
     rpb = n_hashes // bands
     sigs = {d: minhash_sig(t, k, n_hashes) for d, t in docs}
     wsets = {d: set(words(t)) for d, t in docs}
@@ -292,20 +295,53 @@ def fx_minhash_pairs(docs, n_hashes=64, bands=16, k=3, min_jaccard=0.2) -> pa.Ta
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 cands.add((members[x], members[y]))
-    ia, ib, jc = [], [], []
+    out = []
     for a, b in sorted(cands):
         inter = len(wsets[a] & wsets[b])
         union = len(wsets[a] | wsets[b])
         jac = inter / union if union > 0 else 0.0
         if jac >= min_jaccard:
-            ia.append(a)
-            ib.append(b)
-            jc.append(spark_round(jac, 6))
+            out.append((a, b, spark_round(jac, 6)))
+    return out
+
+
+def fx_minhash_pairs(docs, **kw) -> pa.Table:
+    pairs = minhash_pair_list(docs, **kw)
     return pa.table(
         {
-            "id_a": pa.array(ia, pa.int64()),
-            "id_b": pa.array(ib, pa.int64()),
-            "jaccard": pa.array(jc, pa.float64()),
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "jaccard": pa.array([p[2] for p in pairs], pa.float64()),
+        }
+    )
+
+
+def fx_dedup_clusters(docs) -> pa.Table:
+    """Union-find (independent of the DataFrame pointer-doubling
+    implementation) over the minhash near-dup pair graph; cluster id =
+    component minimum, rows only for nodes that appear in a pair."""
+    pairs = [(a, b) for a, b, _ in minhash_pair_list(docs)]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    rows = sorted((n, min(members)) for members in comp.values() for n in members)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
 
@@ -486,6 +522,7 @@ def main():
         "winnow_fingerprints": fx_winnow(docs),
         "simhash": fx_simhash(docs),
         "minhash_lsh_pairs": fx_minhash_pairs(docs),
+        "dedup_clusters": fx_dedup_clusters(docs),
         "media_features": fx_media_features(docs),
         "checkpoint_lineage": fx_checkpoint_lineage(docs),
         "ann_lsh_topk": fx_ann_lsh(embs),
