@@ -379,5 +379,19 @@ def dedup_clusters(
         lab = nxt
         if changed == 0:
             break
+    else:
+        # fixpoint not reached — labels are an UNDER-merged clustering
+        # (every label is still a component member, but two labels may
+        # name the same component). With doubling this needs a graph
+        # whose diameter exceeds ~2^max_iter-ish growth — practically
+        # impossible — so surface it loudly rather than silently.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: no fixpoint after max_iter={max_iter} rounds "
+            f"({changed} labels still changing) — clusters may be split; "
+            "raise max_iter",
+            stacklevel=2,
+        )
 
     return lab.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))

@@ -298,3 +298,16 @@ def test_dedup_clusters_empty_and_self_pairs(spark):
     selfp = spark.createDataFrame([(3, 3), (4, 5)], "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(selfp).collect()}
     assert got == {4: 4, 5: 4}
+
+
+def test_dedup_clusters_max_iter_exhaustion_warns(spark):
+    """Exhausting max_iter without a fixpoint must warn, not silently
+    return split clusters."""
+    import warnings
+
+    pairs = [(i, i + 1) for i in range(30)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.dedup_clusters(pdf, max_iter=1).collect()
+    assert any("no fixpoint" in str(x.message) for x in w)
