@@ -59,8 +59,25 @@ def _best_of(df, n: int = 2) -> float:
     return best
 
 
+def _settle(threshold: float = 2.0, max_wait_s: int = 120) -> float:
+    """Bounded wait for the box to go idle before the timed window.
+    Concurrent JVMs inflated sustained wall times up to ~3x in past
+    rounds (BENCH.md variance note) — a pre-measurement settle makes
+    the per-round numbers comparable instead of load-lottery. Bounded
+    so an always-busy box still produces a (flagged) measurement.
+    Returns seconds waited; loadavg_before in the output shows whether
+    the wait sufficed. Disable with SPARK_GRAFT_NO_SETTLE=1."""
+    if os.environ.get("SPARK_GRAFT_NO_SETTLE"):
+        return 0.0
+    t0 = time.monotonic()
+    while os.getloadavg()[0] >= threshold and time.monotonic() - t0 < max_wait_s:
+        time.sleep(5)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _settled = _settle()
     _load0 = round(os.getloadavg()[0], 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(app_name="bench")
@@ -132,6 +149,7 @@ def main() -> None:
         "docs_per_sec_sustained": round(n_docs * 32 / sustained_sec, 2),
         "docs_per_sec_storage": round(n_docs * 32 / storage_sec, 2),
         "docs_per_sec_storage_presalted": round(n_docs * 32 / storage_ns_sec, 2),
+        "settle_wait_sec": _settled,
         "loadavg_before": _load0,
         "loadavg_after": round(os.getloadavg()[0], 2),
     }
