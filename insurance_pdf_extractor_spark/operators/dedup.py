@@ -395,3 +395,105 @@ def dedup_clusters(
         )
 
     return lab.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def duplicated_window_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication seeds: every ``window``-char slice
+    (sampled on a ``stride`` grid) whose content appears >= ``min_count``
+    times anywhere in the corpus — including twice inside one document,
+    matching the "duplicate substring" definition of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"). Their
+    suffix array is a single-machine structure; the scalable Spark
+    reformulation is window hashing:
+
+    * windows are enumerated JVM-side (``sequence`` + ``explode`` +
+      ``substr``) and keyed by ``xxhash64`` — the duplicate-count
+      shuffle carries an 8-byte key, never text;
+    * the count aggregate is a map-side-combining groupBy producing the
+      slim (key) set of duplicated window hashes, joined back to the
+      positions. Boilerplate shared by millions of documents makes hot
+      keys on that join — the dup-key side is (key)-only so AQE's
+      skew-join split (or a broadcast when the dup set is small)
+      absorbs it;
+    * the ``stride`` grid trades recall for cost: a duplicated region
+      is detected once it covers a full grid-aligned window, i.e.
+      guaranteed above ``window + stride - 1`` chars, probabilistic
+      below. stride == window/2 mirrors the common production setting.
+
+    Returns (id, pos, end) for each duplicated window occurrence.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    base = docs.select(id_col, text_col).filter(F.length(text_col) >= window)
+    w = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.length(text_col) - window, F.lit(stride))).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(F.col(text_col).substr(F.col("pos") + 1, F.lit(window))).alias("k"),
+    )
+    dup_keys = w.groupBy("k").count().filter(F.col("count") >= min_count).select("k")
+    return w.join(dup_keys, "k").select(
+        id_col, "pos", (F.col("pos") + window).alias("end")
+    )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics: merge each doc's
+    duplicated windows (from :func:`duplicated_window_positions`) into
+    maximal spans and report (doc_id, dup_spans, dup_chars,
+    dup_fraction) for EVERY document (clean docs report zeros).
+
+    Span merging is the classic gaps-and-islands rewrite — a window
+    opens a new island iff its start exceeds the running max end of
+    all earlier windows — entirely in Spark window functions
+    partitioned BY DOCUMENT: frames are bounded by windows-per-doc
+    (len/stride), never corpus size, so the WindowExec never sees an
+    unbounded partition at any scale. Downstream span-cutting (emit
+    text with dup spans removed) is one more join of these spans back
+    to text; the stats frame is what a dedup-rate dashboard and the
+    keep/drop policy consume.
+    """
+    dw = duplicated_window_positions(docs, id_col, text_col, window, stride, min_count)
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dw.withColumn(
+        "island",
+        F.sum((F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")).over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("dup_spans"), F.sum(F.col("e") - F.col("s")).alias("dup_chars")
+    )
+    return (
+        docs.select(id_col, F.length(text_col).alias("_len"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_spans", F.lit(0).cast("long")).alias("dup_spans"),
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0).cast("long")) / F.greatest("_len", F.lit(1)), 4
+            ).alias("dup_fraction"),
+        )
+    )

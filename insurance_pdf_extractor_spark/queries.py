@@ -467,19 +467,108 @@ def q_cost_model(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# F3 — date normalization cascade (app/utils/validators.py:52-89)
+# F3/F7/F8/F18/F19 — scalar normalizers, ONE gate row (50-query driver
+# window; consolidation precedent: currency_clean, text_quality). All
+# five are per-row string normalizers, so a 5-branch union with a `src`
+# tag keeps every branch's output fully value-checked:
+#   date  — F3 date normalization cascade (app/utils/validators.py:52-89)
+#   bool  — F7 boolean mapping (app/utils/validators.py:134-159)
+#   comm  — F8 commission normalization (app/models/extraction.py:117-132)
+#   fname — F18 filename sanitization (app/utils/validators.py:259-281)
+#   time  — F19 processing-time formatting (app/models/response.py)
 # ---------------------------------------------------------------------------
+_BOOL_VARIANTS_SQL = "CASE o_orderkey % 8 WHEN 0 THEN 'yes' WHEN 1 THEN 'No' WHEN 2 THEN 'TRUE' WHEN 3 THEN 'off' WHEN 4 THEN 'Included' WHEN 5 THEN 'maybe' WHEN 6 THEN ' Y ' ELSE '0' END"
+_COMM_VARIANTS_SQL = "CASE p_partkey % 5 WHEN 0 THEN '10%' WHEN 1 THEN '$500' WHEN 2 THEN '12.5' WHEN 3 THEN '150' ELSE 'n/a' END"
+
+
 @register(
-    "date_normalize",
-    """
-    SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS norm_date
+    "normalize_suite",
+    f"""
+    SELECT 'date' AS src, o_orderkey AS key,
+           strftime(o_orderdate, '%Y-%m-%d') AS raw,
+           strftime(o_orderdate, '%m/%d/%Y') AS normalized
     FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'bool' AS src, key, raw,
+           CASE WHEN lower(trim(raw)) IN ('yes','true','included','include','y','1','on') THEN 'Included'
+                WHEN lower(trim(raw)) IN ('no','false','excluded','exclude','n','0','off') THEN 'Excluded'
+                ELSE raw END AS normalized
+    FROM (SELECT o_orderkey AS key, {_BOOL_VARIANTS_SQL} AS raw FROM orders WHERE o_orderkey % 15 = 0)
+    UNION ALL
+    SELECT 'comm' AS src, key, raw,
+           CASE WHEN raw LIKE '%\\%%' ESCAPE '\\' OR raw LIKE '%$%' THEN trim(raw)
+                WHEN TRY_CAST(trim(raw) AS DOUBLE) IS NOT NULL
+                     AND TRY_CAST(trim(raw) AS DOUBLE) BETWEEN 0 AND 100
+                     THEN CAST(TRY_CAST(trim(raw) AS DOUBLE) AS VARCHAR) || '%'
+                ELSE raw END AS normalized
+    FROM (SELECT p_partkey AS key, {_COMM_VARIANTS_SQL} AS raw FROM part WHERE p_partkey % 3 = 0)
+    UNION ALL
+    SELECT 'fname' AS src, p_partkey AS key,
+           p_name || '/v1:' || p_brand || '.pdf' AS raw,
+           regexp_replace(regexp_replace(p_name || '/v1:' || p_brand || '.pdf',
+               '[<>:"/\\\\|?*]', '_', 'g'), '\\s+', '_', 'g') AS normalized
+    FROM part WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT 'time' AS src, o_orderkey AS key,
+           CAST(o_orderkey % 3000 AS VARCHAR) AS raw,
+           CASE WHEN t < 1 THEN CAST(CAST(round(t * 1000) AS BIGINT) AS VARCHAR) || 'ms'
+                WHEN t < 60 THEN printf('%.1f', t) || 's'
+                ELSE CAST(CAST(floor(t / 60) AS BIGINT) AS VARCHAR) || 'm '
+                     || printf('%.1f', t % 60) || 's'
+           END AS normalized
+    FROM (SELECT o_orderkey, (o_orderkey % 3000) / 10.0 AS t
+          FROM orders WHERE o_orderkey % 9 = 0)
     """,
 )
-def q_date_normalize(spark, sf_dir):
-    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+def q_normalize_suite(spark, sf_dir):
+    from .functions.normalizers import (
+        format_processing_time_expr,
+        normalize_boolean_utils_expr,
+        normalize_commission_expr,
+        sanitize_filename_expr,
+    )
+
+    o10 = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     iso = F.date_format("o_orderdate", "yyyy-MM-dd")
-    return o.select("o_orderkey", normalize_date_expr(iso).alias("norm_date"))
+    dates = o10.select(
+        F.lit("date").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        iso.alias("raw"),
+        normalize_date_expr(iso).alias("normalized"),
+    )
+    o15 = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    braw = F.expr(_BOOL_VARIANTS_SQL)
+    bools = o15.select(
+        F.lit("bool").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        braw.alias("raw"),
+        normalize_boolean_utils_expr(braw).alias("normalized"),
+    )
+    p3 = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    craw = F.expr(_COMM_VARIANTS_SQL)
+    comms = p3.select(
+        F.lit("comm").alias("src"),
+        F.col("p_partkey").alias("key"),
+        craw.alias("raw"),
+        normalize_commission_expr(craw).alias("normalized"),
+    )
+    p7 = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    fname = F.concat(F.col("p_name"), F.lit("/v1:"), F.col("p_brand"), F.lit(".pdf"))
+    names = p7.select(
+        F.lit("fname").alias("src"),
+        F.col("p_partkey").alias("key"),
+        fname.alias("raw"),
+        sanitize_filename_expr(fname).alias("normalized"),
+    )
+    o9 = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    t = (F.col("o_orderkey") % 3000) / 10.0
+    times = o9.select(
+        F.lit("time").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 3000).cast("string").alias("raw"),
+        format_processing_time_expr(t).alias("normalized"),
+    )
+    return dates.unionByName(bools).unionByName(comms).unionByName(names).unionByName(times)
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +722,99 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# duplicated-substring spans per document (training-data ops) — the
+# scalable window-hash reformulation of Lee et al. 2022's suffix-array
+# substring dedup. Oracle groups by the window TEXT itself where Spark
+# groups by xxhash64(text): identical results modulo 64-bit hash
+# collisions, which the oracle would surface as a hash mismatch.
+# ---------------------------------------------------------------------------
+_DUP_W, _DUP_S = 40, 20
+
+
+@register(
+    "dup_ngram_spans",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= {_DUP_W}),
+    win AS (
+      SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+             substr(text, CAST(t.pos AS INT) + 1, {_DUP_W}) AS s
+      FROM base, LATERAL unnest(generate_series(0, length(text) - {_DUP_W}, {_DUP_S})) AS t(pos)
+    ),
+    dup AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos, pos + {_DUP_W} AS e FROM win JOIN dup USING (s)),
+    pm AS (
+      SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN pos > coalesce(prev_max_end, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pm
+    ),
+    spans AS (SELECT doc_id, island, min(pos) AS st, max(e) AS en FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, count(*) AS dup_spans, sum(en - st) AS dup_chars FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           round(coalesce(p.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dup_ngram_spans(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling + train/val/test split (training-data ops)
+# — stratified-by-lang Bernoulli sample and a salt-independent split
+# label, both pure map-side functions of md5(doc_id || salt) so the
+# identical decision is expressible 1:1 in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+_SAMPLE_FRACS = {"en": 0.5, "es": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _sample_split_sql() -> str:
+    from .operators.sampling import hex_threshold
+
+    strat = " ".join(
+        f"WHEN '{lang}' THEN '{hex_threshold(frac)}'" for lang, frac in _SAMPLE_FRACS.items()
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 12) AS dsamp,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 12) AS dsplit
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN dsplit < '{hex_threshold(0.8)}' THEN 'train'
+                WHEN dsplit < '{hex_threshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    WHERE dsamp < CASE lang {strat} ELSE '{hex_threshold(_SAMPLE_DEFAULT)}' END
+    """
+
+
+@register("hash_sample_split", _sample_split_sql())
+def q_hash_sample_split(spark, sf_dir):
+    from .operators.sampling import hash_split_expr, stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), _SAMPLE_FRACS, default=_SAMPLE_DEFAULT
+    )
+    return kept.select(
+        "doc_id", "lang", hash_split_expr(F.col("doc_id")).alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
 # brute-force cosine top-k ANN baseline (training-data ops)
 # ---------------------------------------------------------------------------
 @register(
@@ -707,106 +889,6 @@ def q_currency_clean(spark, sf_dir):
         validate_currency_expr(raw).alias("valid"),
     )
 
-
-# ---------------------------------------------------------------------------
-# F7 — boolean normalization, wide mapping (app/utils/validators.py:134-159)
-# ---------------------------------------------------------------------------
-_BOOL_VARIANTS_SQL = "CASE o_orderkey % 8 WHEN 0 THEN 'yes' WHEN 1 THEN 'No' WHEN 2 THEN 'TRUE' WHEN 3 THEN 'off' WHEN 4 THEN 'Included' WHEN 5 THEN 'maybe' WHEN 6 THEN ' Y ' ELSE '0' END"
-
-
-# F7 + F8 consolidated into ONE gate row (50-query driver window): the
-# boolean branch normalizes over orders, the commission branch
-# (app/models/extraction.py:117-132) over part; a `src` tag keeps the
-# unioned rows distinguishable so every variant branch of BOTH
-# normalizers stays value-checked.
-_COMM_VARIANTS_SQL = "CASE p_partkey % 5 WHEN 0 THEN '10%' WHEN 1 THEN '$500' WHEN 2 THEN '12.5' WHEN 3 THEN '150' ELSE 'n/a' END"
-
-
-@register(
-    "boolean_normalize",
-    f"""
-    WITH b AS (SELECT o_orderkey AS key, {_BOOL_VARIANTS_SQL} AS raw FROM orders WHERE o_orderkey % 15 = 0),
-    c AS (SELECT p_partkey AS key, {_COMM_VARIANTS_SQL} AS raw FROM part WHERE p_partkey % 3 = 0)
-    SELECT 'bool' AS src, key, raw,
-           CASE WHEN lower(trim(raw)) IN ('yes','true','included','include','y','1','on') THEN 'Included'
-                WHEN lower(trim(raw)) IN ('no','false','excluded','exclude','n','0','off') THEN 'Excluded'
-                ELSE raw END AS normalized
-    FROM b
-    UNION ALL
-    SELECT 'comm' AS src, key, raw,
-           CASE WHEN raw LIKE '%\\%%' ESCAPE '\\' OR raw LIKE '%$%' THEN trim(raw)
-                WHEN TRY_CAST(trim(raw) AS DOUBLE) IS NOT NULL
-                     AND TRY_CAST(trim(raw) AS DOUBLE) BETWEEN 0 AND 100
-                     THEN CAST(TRY_CAST(trim(raw) AS DOUBLE) AS VARCHAR) || '%'
-                ELSE raw END AS normalized
-    FROM c
-    """,
-)
-def q_boolean_normalize(spark, sf_dir):
-    from .functions.normalizers import normalize_boolean_utils_expr, normalize_commission_expr
-
-    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
-    braw = F.expr(_BOOL_VARIANTS_SQL)
-    bools = o.select(
-        F.lit("bool").alias("src"),
-        F.col("o_orderkey").alias("key"),
-        braw.alias("raw"),
-        normalize_boolean_utils_expr(braw).alias("normalized"),
-    )
-    p = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
-    craw = F.expr(_COMM_VARIANTS_SQL)
-    comms = p.select(
-        F.lit("comm").alias("src"),
-        F.col("p_partkey").alias("key"),
-        craw.alias("raw"),
-        normalize_commission_expr(craw).alias("normalized"),
-    )
-    return bools.unionByName(comms)
-
-
-# ---------------------------------------------------------------------------
-# F18 — filename sanitization (app/utils/validators.py:259-281)
-# ---------------------------------------------------------------------------
-# F18 + F19 consolidated into ONE gate row (50-query driver window):
-# filename sanitization over part, processing-time formatting
-# (app/models/response.py display path) over orders, unioned with a
-# `src` tag — each branch's output string stays fully value-checked.
-@register(
-    "filename_sanitize",
-    """
-    SELECT 'fname' AS src, p_partkey AS key,
-           regexp_replace(regexp_replace(p_name || '/v1:' || p_brand || '.pdf',
-               '[<>:"/\\\\|?*]', '_', 'g'), '\\s+', '_', 'g') AS formatted
-    FROM part WHERE p_partkey % 7 = 0
-    UNION ALL
-    SELECT 'time' AS src, o_orderkey AS key,
-           CASE WHEN t < 1 THEN CAST(CAST(round(t * 1000) AS BIGINT) AS VARCHAR) || 'ms'
-                WHEN t < 60 THEN printf('%.1f', t) || 's'
-                ELSE CAST(CAST(floor(t / 60) AS BIGINT) AS VARCHAR) || 'm '
-                     || printf('%.1f', t % 60) || 's'
-           END AS formatted
-    FROM (SELECT o_orderkey, (o_orderkey % 3000) / 10.0 AS t
-          FROM orders WHERE o_orderkey % 9 = 0)
-    """,
-)
-def q_filename_sanitize(spark, sf_dir):
-    from .functions.normalizers import format_processing_time_expr, sanitize_filename_expr
-
-    p = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
-    fname = F.concat(F.col("p_name"), F.lit("/v1:"), F.col("p_brand"), F.lit(".pdf"))
-    names = p.select(
-        F.lit("fname").alias("src"),
-        F.col("p_partkey").alias("key"),
-        sanitize_filename_expr(fname).alias("formatted"),
-    )
-    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
-    t = (F.col("o_orderkey") % 3000) / 10.0
-    times = o.select(
-        F.lit("time").alias("src"),
-        F.col("o_orderkey").alias("key"),
-        format_processing_time_expr(t).alias("formatted"),
-    )
-    return names.unionByName(times)
 
 
 # ---------------------------------------------------------------------------
