@@ -7,6 +7,7 @@ SQL exists for each (see queries.py oracles).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -132,3 +133,84 @@ def winnow_fingerprints_expr(grams: Column, window: int = 4) -> Column:
         )
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+# --- repetition signals (Gopher filters) ------------------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") §A1.1 filters
+# repetitive documents by the fraction of the document covered by its
+# most frequent n-gram and by duplicated n-grams. Word-level variants
+# here (the shared corpus is single-line text, so line-level dup
+# fractions would be degenerate):
+#
+#   top_bigram_frac  — 2 * count(most frequent word 2-gram) / n_words
+#   dup_5gram_frac   — fraction of 5-gram positions whose 5-gram occurs
+#                      >= 2 times within the document
+#
+# Counting distinct n-grams per document is a per-doc local problem, so
+# it runs as ONE Arrow-batched pandas_udf (collections.Counter per doc
+# inside the batch) — no explode, no shuffle, output is 4 scalars per
+# row. At 10^12 docs this is a map-only stage; the alternative
+# (posexplode n-grams + two groupBys) shuffles ~n_words rows per doc
+# for a number that never leaves the document.
+#
+# Word splitting matches the oracle convention exactly:
+# trim → collapse \s+ → split on ' ' (empty text ⇒ one empty word,
+# same as DuckDB regexp_split_to_array).
+
+
+def repetition_stats_udf():
+    import re
+
+    from pyspark.sql import types as T
+
+    # Integer counts ONLY: Python round() is banker's rounding while
+    # Spark/DuckDB round HALF_UP — exact binary fractions (1/32 =
+    # 0.03125) would hash-diverge. The fractions are derived and
+    # rounded Spark-side, where Spark↔DuckDB rounding already agrees.
+    schema = T.StructType(
+        [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("top_bigram_count", T.LongType()),
+            T.StructField("dup_5gram_pos", T.LongType()),
+            T.StructField("tot_5gram_pos", T.LongType()),
+        ]
+    )
+    ws_re = re.compile(r"\s+")
+
+    @F.pandas_udf(schema)
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for text in texts:
+            words = ws_re.sub(" ", (text or "").strip()).split(" ")
+            n = len(words)
+            top_bg = 0
+            if n >= 2:
+                top_bg = max(Counter(zip(words, words[1:])).values())
+            dup5 = tot5 = 0
+            if n >= 5:
+                counts = Counter(tuple(words[i : i + 5]) for i in range(n - 4))
+                tot5 = n - 4
+                dup5 = sum(c for c in counts.values() if c >= 2)
+            rows.append((n, top_bg, dup5, tot5))
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return kernel
+
+
+def repetition_stats(df, text_col: str = "text"):
+    """Append Gopher repetition-signal columns (n_words,
+    top_bigram_count, top_bigram_frac, dup_5gram_frac) to ``df``."""
+    s = repetition_stats_udf()(F.col(text_col)).alias("_rep")
+    out = df.withColumn("_rep", s).select("*", "_rep.*").drop("_rep")
+    return out.select(
+        "*",
+        F.round(F.col("top_bigram_count") * 2.0 / F.greatest("n_words", F.lit(1)), 4).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("dup_5gram_pos") / F.greatest("tot_5gram_pos", F.lit(1)), 4).alias(
+            "dup_5gram_frac"
+        ),
+    ).drop("dup_5gram_pos", "tot_5gram_pos")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .constants import US_STATES
+from .functions import pii as _pii
 from .functions.normalizers import clean_text_expr, normalize_date_expr
 from .operators import dedup, similarity, text_quality as tq
 
@@ -476,9 +477,24 @@ def q_cost_model(spark, sf_dir):
 #   comm  — F8 commission normalization (app/models/extraction.py:117-132)
 #   fname — F18 filename sanitization (app/utils/validators.py:259-281)
 #   time  — F19 processing-time formatting (app/models/response.py)
+#   pii   — PII redaction cascade (functions/pii.py, training-data op;
+#           input synthesized from customer columns since the shared
+#           corpus carries no PII)
 # ---------------------------------------------------------------------------
 _BOOL_VARIANTS_SQL = "CASE o_orderkey % 8 WHEN 0 THEN 'yes' WHEN 1 THEN 'No' WHEN 2 THEN 'TRUE' WHEN 3 THEN 'off' WHEN 4 THEN 'Included' WHEN 5 THEN 'maybe' WHEN 6 THEN ' Y ' ELSE '0' END"
 _COMM_VARIANTS_SQL = "CASE p_partkey % 5 WHEN 0 THEN '10%' WHEN 1 THEN '$500' WHEN 2 THEN '12.5' WHEN 3 THEN '150' ELSE 'n/a' END"
+# PII-laden strings synthesized from customer columns (the shared
+# corpus has no PII, so the branch manufactures every category the
+# cascade handles). Dialect-neutral SQL: CAST(.. AS STRING), lpad, ||
+# and CASE mean the SAME string literally in Spark SQL and DuckDB.
+_PII_VARIANTS_SQL = """CASE c_custkey % 3
+    WHEN 0 THEN 'contact ' || c_name || ' <user' || CAST(c_custkey AS STRING)
+         || '@example.com> or (555) 867-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')
+    WHEN 1 THEN 'card 4111 1111 1111 ' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')
+         || ' ssn 123-45-6789 intl 25-989-741-2988'
+    ELSE 'host 10.0.' || CAST(c_custkey % 256 AS STRING) || '.'
+         || CAST((c_custkey * 7) % 256 AS STRING) || ' port 8080 ok'
+    END"""
 
 
 @register(
@@ -518,6 +534,10 @@ _COMM_VARIANTS_SQL = "CASE p_partkey % 5 WHEN 0 THEN '10%' WHEN 1 THEN '$500' WH
            END AS normalized
     FROM (SELECT o_orderkey, (o_orderkey % 3000) / 10.0 AS t
           FROM orders WHERE o_orderkey % 9 = 0)
+    UNION ALL
+    SELECT 'pii' AS src, key, raw, {_pii.pii_redact_sql('raw')} AS normalized
+    FROM (SELECT c_custkey AS key, {_PII_VARIANTS_SQL} AS raw
+          FROM customer WHERE c_custkey % 4 = 0)
     """,
 )
 def q_normalize_suite(spark, sf_dir):
@@ -568,7 +588,21 @@ def q_normalize_suite(spark, sf_dir):
         (F.col("o_orderkey") % 3000).cast("string").alias("raw"),
         format_processing_time_expr(t).alias("normalized"),
     )
-    return dates.unionByName(bools).unionByName(comms).unionByName(names).unionByName(times)
+    c4 = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    praw = F.expr(_PII_VARIANTS_SQL)
+    piis = c4.select(
+        F.lit("pii").alias("src"),
+        F.col("c_custkey").alias("key"),
+        praw.alias("raw"),
+        _pii.redact_pii_expr(praw).alias("normalized"),
+    )
+    return (
+        dates.unionByName(bools)
+        .unionByName(comms)
+        .unionByName(names)
+        .unionByName(times)
+        .unionByName(piis)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +645,31 @@ def q_clean_text(spark, sf_dir):
 @register(
     "text_quality",
     """
-    SELECT doc_id,
+    WITH rep_w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS bg
+      FROM rep_w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    topb AS (
+      SELECT doc_id, max(c) AS top_c
+      FROM (SELECT doc_id, count(*) AS c FROM bi GROUP BY doc_id, bg) GROUP BY doc_id
+    ),
+    five AS (
+      SELECT doc_id, list_aggregate(ws[CAST(t.i AS INT):CAST(t.i AS INT) + 4], 'string_agg', ' ') AS g5
+      FROM rep_w, LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    fdup AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos, sum(c) AS tot_pos
+      FROM (SELECT doc_id, count(*) AS c FROM five GROUP BY doc_id, g5) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_bpe_ish,
            round(0.4 * least(n_chars / 500.0, 1.0)
@@ -620,20 +678,30 @@ def q_clean_text(spark, sf_dir):
                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 1.0)
                + 0.2 * (CASE WHEN len(regexp_extract_all(text, '[.,;:!?]'))
                      / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) <= 0.3
-                     THEN 1.0 ELSE 0.5 END), 4) AS quality
-    FROM documents
+                     THEN 1.0 ELSE 0.5 END), 4) AS quality,
+           CAST(len(rep_w.ws) AS BIGINT) AS n_words,
+           CAST(coalesce(topb.top_c, 0) AS BIGINT) AS top_bigram_count,
+           round(coalesce(topb.top_c, 0) * 2.0 / greatest(len(rep_w.ws), 1), 4) AS top_bigram_frac,
+           round(coalesce(fdup.dup_pos, 0) * 1.0 / greatest(coalesce(fdup.tot_pos, 0), 1), 4)
+             AS dup_5gram_frac
+    FROM documents d
+    JOIN rep_w USING (doc_id)
+    LEFT JOIN topb USING (doc_id)
+    LEFT JOIN fdup USING (doc_id)
     """,
 )
 def q_text_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
+        "text",
         tq.token_count_expr(F.col("text")).alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
             "n_bpe_ish"
         ),
         tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
     )
+    return tq.repetition_stats(base).drop("text")
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,53 @@ def test_estimate_cost_parity(spark):
             for i, o in [(1000, 2000), (123, 456), (0, 0)]
         ]
         assert got == pytest.approx(exp)
+
+
+# --- PII redaction cascade (functions/pii.py, training-data op) -------------
+
+
+def test_pii_redaction_categories(spark):
+    from insurance_pdf_extractor_spark.functions.pii import pii_counts_expr, redact_pii_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.co.uk now"),
+        (1, "cc 1234 5678 9012 3456 and 1234-5678-9012-3456"),
+        (2, "ssn 987-65-4321 phone 415-555-1234 alt (212) 555-9876"),
+        (3, "ip 8.8.8.8 and 255.255.255.255"),
+        (4, "intl 25-989-741-2988 tpch-style"),
+        (5, "clean text with numbers 1234567890123456 unseparated"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii_expr(F.col("text")).alias("red"),
+            pii_counts_expr(F.col("text")).alias("c"),
+        ).collect()
+    }
+    assert out[0].red == "mail <EMAIL> now" and out[0].c.email == 1
+    assert out[1].red == "cc <CC> and <CC>" and out[1].c.cc == 2
+    assert out[2].red == "ssn <SSN> phone <PHONE> alt <PHONE>"
+    assert out[2].c.ssn == 1 and out[2].c.phone == 2
+    assert out[3].red == "ip <IP> and <IP>" and out[3].c.ip == 2
+    assert out[4].red == "intl <PHONE> tpch-style"
+    # a bare 16-digit run is NOT a credit card (precision-first rule)
+    assert out[5].red == rows[5][1]
+    assert all(v == 0 for v in out[5].c.asDict().values())
+
+
+def test_pii_cascade_no_double_count(spark):
+    from insurance_pdf_extractor_spark.functions.pii import pii_counts_expr
+    from pyspark.sql import functions as F
+
+    # the cc must NOT additionally be counted as phones/ssn; the email's
+    # host dots must not count as an ip
+    df = spark.createDataFrame(
+        [(0, "pay 1111 2222 3333 4444 or write a.b@c12.example.org")],
+        "id long, text string",
+    )
+    c = df.select(pii_counts_expr(F.col("text")).alias("c")).first().c
+    assert c.cc == 1 and c.email == 1
+    assert c.phone == 0 and c.ssn == 0 and c.ip == 0

@@ -125,3 +125,48 @@ def test_duplicated_window_positions_args(spark):
         dedup.duplicated_window_positions(df, window=0)
     with pytest.raises(ValueError):
         dedup.duplicated_window_positions(df, stride=-1)
+
+
+# --- Gopher repetition signals (text_quality.repetition_stats) --------------
+
+
+def test_repetition_stats_planted(spark):
+    from insurance_pdf_extractor_spark.operators import text_quality as tq
+
+    rows = [
+        (0, "spam ham " * 10),                 # one bigram dominates
+        (1, "a b c d e f g h i j"),            # all distinct: no repeats
+        (2, "x y z w v x y z w v x y z w v"),  # repeated 5-gram block
+        (3, "one"),                            # n_words < 2: all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tq.repetition_stats(df).collect()}
+
+    # doc 0: words = [spam ham]*10, n=20. Bigram (spam,ham) occurs 10x,
+    # (ham,spam) 9x -> top=10, frac=10*2/20=1.0. Every 5-gram position
+    # (16 of them) repeats -> dup_5gram_frac=1.0.
+    assert got[0].n_words == 20 and got[0].top_bigram_count == 10
+    assert got[0].top_bigram_frac == 1.0 and got[0].dup_5gram_frac == 1.0
+    # doc 1: 10 distinct words -> top bigram count 1, no dup 5-grams
+    assert got[1].top_bigram_count == 1
+    assert got[1].top_bigram_frac == 0.2 and got[1].dup_5gram_frac == 0.0
+    # doc 2: "x y z w v" * 3 -> n=15; (x,y) occurs 3x -> frac 3*2/15=0.4;
+    # 11 5-gram positions, the 5 distinct cyclic 5-grams occur 3,2,2,2,2
+    # times -> all 11 positions duplicated -> 1.0
+    assert got[2].n_words == 15 and got[2].top_bigram_count == 3
+    assert got[2].top_bigram_frac == 0.4 and got[2].dup_5gram_frac == 1.0
+    # doc 3: single word -> degenerate zeros
+    assert got[3].n_words == 1 and got[3].top_bigram_count == 0
+    assert got[3].top_bigram_frac == 0.0 and got[3].dup_5gram_frac == 0.0
+
+
+def test_repetition_stats_null_and_empty(spark):
+    from insurance_pdf_extractor_spark.operators import text_quality as tq
+
+    df = spark.createDataFrame([(0, None), (1, "   ")], "doc_id long, text string")
+    got = {r.doc_id: r for r in tq.repetition_stats(df).collect()}
+    # null/blank text -> one empty word (matches the DuckDB
+    # regexp_split_to_array convention), zero repetition everywhere
+    for r in got.values():
+        assert r.n_words == 1 and r.top_bigram_count == 0
+        assert r.top_bigram_frac == 0.0 and r.dup_5gram_frac == 0.0
