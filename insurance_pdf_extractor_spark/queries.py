@@ -231,40 +231,100 @@ def q_status_breakdown(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# O1 — recent-N with deterministic total order (app/services/storage.py:368-386)
+# O1 + O2 — ordered slices, consolidated into ONE gate row (50-query
+# driver window; same precedent as normalize_suite/text_quality): the
+# recent-50 events slice (app/services/storage.py:368-386) and the
+# top-10 most-expensive slice (app/services/storage.py:499-512) union
+# under a `src` tag with an aligned schema — every output value of the
+# two former gates remains value-checked.
 # ---------------------------------------------------------------------------
 @register(
-    "recent_events",
+    "ordered_slices",
     """
-    SELECT event_id, ts, event_type, value FROM events
-    ORDER BY ts DESC, event_id DESC LIMIT 50
+    SELECT 'recent' AS src, event_id AS key_id, CAST(NULL AS BIGINT) AS aux_id,
+           ts, event_type AS label, value AS metric
+    FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 50)
+    UNION ALL
+    SELECT 'top_expensive', o_orderkey, o_custkey,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
     """,
 )
-def q_recent_events(spark, sf_dir):
-    return (
+def q_ordered_slices(spark, sf_dir):
+    recent = (
         _load(spark, sf_dir, "events")
-        .select("event_id", "ts", "event_type", "value")
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(50)
+        .select(
+            F.lit("recent").alias("src"),
+            F.col("event_id").alias("key_id"),
+            F.lit(None).cast("long").alias("aux_id"),
+            F.col("ts"),
+            F.col("event_type").alias("label"),
+            F.col("value").alias("metric"),
+        )
     )
-
-
-# ---------------------------------------------------------------------------
-# O2 — top-10 most expensive (app/services/storage.py:499-512)
-# ---------------------------------------------------------------------------
-@register(
-    "top_expensive",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-def q_top_expensive(spark, sf_dir):
-    return (
+    top = (
         _load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            F.lit("top_expensive").alias("src"),
+            F.col("o_orderkey").alias("key_id"),
+            F.col("o_custkey").alias("aux_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("label"),
+            F.col("o_totalprice").alias("metric"),
+        )
+    )
+    return recent.unionByName(top)
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — each non-purchase event attaches the
+# user's most recent purchase at-or-before its timestamp. The Spark
+# side is the union-tag + running-last window reformulation
+# (operators/asof.py: one key shuffle, no UDF, codegen'd); the oracle
+# is DuckDB's NATIVE ASOF LEFT JOIN, so two independent as-of
+# implementations must agree on every payload value including the
+# no-prior-purchase null rows. (events has no (user_id, ts) ties, so
+# the result is deterministic without a build-side dedup; the operator
+# still takes a tiebreak for inputs that need one.)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.event_id AS purchase_id, p.value AS purchase_value, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_bts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        probe,
+        build,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="_bts",
+        payload_cols=["purchase_id", "purchase_value", "purchase_ts"],
+        tiebreak="purchase_id",
     )
 
 
@@ -322,44 +382,101 @@ def q_pk_fk_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # J2/J3 — left-anti join (app/services/storage.py:610-629; resume)
 # ---------------------------------------------------------------------------
+# J2 anti-join (NOT IN) + semi-join (EXISTS) consolidated into ONE gate
+# row (50-query driver window; normalize_suite precedent): both grouped
+# counts union under a `src` tag, every value of the two former gates
+# still checked.
 @register(
-    "anti_join_no_urgent_orders",
+    "filter_joins",
     """
-    SELECT c_mktsegment, count(*) AS n_customers
+    SELECT 'anti_no_urgent' AS src, c_mktsegment AS group_key, count(*) AS n
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'semi_active', CAST(s_nationkey AS VARCHAR), count(*)
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    GROUP BY s_nationkey
     """,
 )
-def q_anti_join(spark, sf_dir):
+def q_filter_joins(spark, sf_dir):
     c = _load(spark, sf_dir, "customer")
     o = (
         _load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return (
+    anti = (
         c.join(o, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("anti_no_urgent").alias("src"),
+            F.col("c_mktsegment").alias("group_key"),
+            "n",
+        )
     )
-
-
-# semi-join variant (EXISTS)
-@register(
-    "semi_join_active_suppliers",
-    """
-    SELECT s_nationkey, count(*) AS n_active
-    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
-    GROUP BY s_nationkey
-    """,
-)
-def q_semi_join(spark, sf_dir):
     s = _load(spark, sf_dir, "supplier")
     li = _load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
-    return s.join(li, "s_suppkey", "left_semi").groupBy("s_nationkey").agg(
-        F.count("*").alias("n_active")
+    semi = (
+        s.join(li, "s_suppkey", "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("semi_active").alias("src"),
+            F.col("s_nationkey").cast("string").alias("group_key"),
+            "n",
+        )
     )
+    return anti.unionByName(semi)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concatenate-and-chunk layout of the documents
+# table into 512-token training chunks (operators/packing.py). The
+# Spark side computes the global token prefix sum in the distributed
+# two-phase bucket shape; the oracle is the straightforward single
+# global window cumsum the bucketing must reproduce exactly (the
+# bucket key is a PREFIX of the md5 order key, so the orders agree).
+# CAST(... AS BIGINT) on the running sum: DuckDB window sum over
+# BIGINT yields HUGEINT -> pandas float64 (the A4 lesson).
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 12) AS okey,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start_offset
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, n_tokens, start_offset, t.c AS chunk_id
+      FROM offs, LATERAL unnest(generate_series(
+          start_offset // 512, (start_offset + n_tokens - 1) // 512)) AS t(c)
+      WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, start_offset, chunk_id,
+           greatest(start_offset, chunk_id * 512) - chunk_id * 512 AS begin_in_chunk,
+           least(start_offset + n_tokens, (chunk_id + 1) * 512) - chunk_id * 512 AS end_in_chunk
+    FROM chunks
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    from .operators.packing import pack_documents
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", tq.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(d, id_col="doc_id", token_col="n_tokens", budget=512)
 
 
 # ---------------------------------------------------------------------------
