@@ -1837,21 +1837,37 @@ def q_simhash(spark, sf_dir):
     )
 
 
-@register("ann_lsh_topk", _fx("ann_lsh_topk"))
-def q_ann_lsh(spark, sf_dir):
+# ann_lsh_topk + ann_ivf_topk consolidated into ONE gate row under a
+# `src` tag (50-query driver window; normalize_suite precedent): both
+# bucketed-ANN variants — sign-LSH buckets and IVF probed cells — stay
+# fully value-checked against their independent fixture oracles.
+@register("ann_bucketed_topk", _fx("ann_bucketed_topk"))
+def q_ann_bucketed(spark, sf_dir):
+    """LSH: sign-signature bucket join. IVF: no-shuffle cell assignment
+    (one matmul per Arrow batch vs driver-collected centroids), probe n
+    nearest cells, exact rerank inside probed cells."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_topk(emb, queries, k=10, n_planes=6, dim=64)
+    lsh = similarity.lsh_topk(emb, queries, k=10, n_planes=6, dim=64).select(
+        F.lit("lsh").alias("src"), "*"
+    )
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        F.lit("ivf").alias("src"), "*"
+    )
+    return lsh.unionByName(ivf)
 
 
-@register("ann_ivf_topk", _fx("ann_ivf_topk"))
-def q_ann_ivf(spark, sf_dir):
-    """IVF-cell ANN: no-shuffle cell assignment (one matmul per Arrow
-    batch vs driver-collected centroids), probe n nearest cells, exact
-    rerank inside probed cells."""
+# SemDeDup (Abbas et al. 2023): spherical k-means over the embedding
+# column (deterministic xxhash64 init, fixed-point integer centroid
+# sums so the update is execution-order independent), then greedy
+# within-cluster near-dup pruning. Oracle: independent numpy
+# reimplementation (tools/make_fixtures.py:fx_kmeans_semantic).
+@register("kmeans_semantic_dedup", _fx("kmeans_semantic_dedup"))
+def q_kmeans_semantic(spark, sf_dir):
+    from .operators.semantic import semantic_dedup
+
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return semantic_dedup(emb, k=8, n_iter=4, threshold=0.4, dim=64)
 
 
 # ann_ivf with n_probe == n_centroids probes EVERY cell, which is
@@ -1980,14 +1996,16 @@ _PRIORITY = [
     "extract_pipeline_spans",
     "results_pipeline",
     "checkpoint_lineage",
-    "ann_ivf_topk",
+    "ann_bucketed_topk",
     "ann_ivf_exhaustive",
+    "kmeans_semantic_dedup",
     "simhash",
     "embedding_near_dup_lsh",
     "winnow_fingerprints",
     "media_features",
     "minhash_lsh_pairs",
-    "ann_lsh_topk",
+    "sequence_packing",
+    "asof_join",
     "media_frame_sample",
     "streaming_windowed_metrics",
     "schema_evolution",

@@ -509,6 +509,86 @@ def fx_embedding_near_dup_lsh(embs, threshold=0.4, n_planes=4) -> pa.Table:
     )
 
 
+def fx_ann_bucketed(embs) -> pa.Table:
+    """ann_lsh_topk + ann_ivf_topk consolidated under a src tag (one
+    driver gate row for both bucketed-ANN variants; the two underlying
+    oracles are unchanged)."""
+    lsh = fx_ann_lsh(embs)
+    ivf = fx_ann_ivf(embs)
+    out = {"src": pa.array(["lsh"] * lsh.num_rows + ["ivf"] * ivf.num_rows)}
+    for col in lsh.column_names:
+        out[col] = pa.concat_arrays(
+            [lsh[col].combine_chunks(), ivf[col].combine_chunks()]
+        )
+    return pa.table(out)
+
+
+def fx_kmeans_semantic(embs, k=8, n_iter=4, threshold=0.4) -> pa.Table:
+    """Independent numpy SemDeDup oracle: spherical k-means with the
+    lowest-xxhash64 init pick and fixed-point integer centroid sums
+    (the order-independent update the Spark operator uses), then
+    greedy within-cluster pruning ordered by (cos-to-centroid desc,
+    id asc). All float work is numpy float64, rounding via np.round
+    (half-even) — the same primitives the Arrow kernels call, so the
+    results must agree bit-for-bit."""
+    FP = 1 << 20
+
+    def unit(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    def quant(C):
+        return unit(np.round(C, 6))
+
+    order = sorted(embs, key=lambda p: (xxh64_signed(str(p[0])), p[0]))[:k]
+    C = quant(unit(np.asarray([v.tolist() for _i, v in order], dtype=np.float64)))
+    ids = [i for i, _v in embs]
+    En = unit(np.asarray([v.tolist() for _i, v in embs], dtype=np.float64))
+    for _ in range(n_iter):
+        best = np.argmax(En @ C.T, axis=1)
+        q = np.rint(En * FP).astype(np.int64)
+        newC = C.copy()
+        for c in range(k):
+            mask = best == c
+            if mask.any():
+                newC[c] = q[mask].sum(axis=0).astype(np.float64) / (int(mask.sum()) * FP)
+        C = quant(newC)
+    sims = En @ C.T
+    best = np.argmax(sims, axis=1)
+    cos = np.round(sims[np.arange(len(best)), best], 6)
+
+    rows = []
+    for c in range(k):
+        members = sorted(
+            (i for i in range(len(ids)) if best[i] == c),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        if not members:
+            continue
+        E = En[members]
+        pair = E @ E.T
+        kept: list[int] = []
+        for pos, i in enumerate(members):
+            dup_of = None
+            if kept:
+                s = pair[pos, kept]
+                j = int(np.argmax(s))
+                if s[j] >= threshold:
+                    dup_of = ids[members[kept[j]]]
+            if dup_of is None:
+                kept.append(pos)
+            rows.append((ids[i], c, float(cos[i]), dup_of is None, dup_of))
+    rows.sort()
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int32()),
+            "cos_to_centroid": pa.array([r[2] for r in rows], pa.float64()),
+            "keep": pa.array([r[3] for r in rows], pa.bool_()),
+            "dup_of": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else Path(__file__).resolve().parents[1] / "fixtures")
@@ -525,9 +605,9 @@ def main():
         "dedup_clusters": fx_dedup_clusters(docs),
         "media_features": fx_media_features(docs),
         "checkpoint_lineage": fx_checkpoint_lineage(docs),
-        "ann_lsh_topk": fx_ann_lsh(embs),
-        "ann_ivf_topk": fx_ann_ivf(embs),
+        "ann_bucketed_topk": fx_ann_bucketed(embs),
         "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
+        "kmeans_semantic_dedup": fx_kmeans_semantic(embs),
     }
     for name, table in tables.items():
         path = out_dir / f"fx_{name}.parquet"
