@@ -1002,8 +1002,13 @@ def q_hash_sample_split(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k ANN baseline (training-data ops)
 # ---------------------------------------------------------------------------
+# cosine_topk (brute-force ANN baseline) + embedding_near_dup_exact
+# (all-pairs threshold join baseline) consolidated into ONE gate row
+# under a `src` tag (50-query driver window): both remain the
+# explicitly-labeled EXACT oracle baselines whose scale paths are
+# ann_bucketed_topk / embedding_near_dup_lsh.
 @register(
-    "cosine_topk",
+    "embedding_exact_baselines",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
     scored AS (
@@ -1013,20 +1018,85 @@ def q_hash_sample_split(spark, sf_dir):
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
                AS cosine
       FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
-    )
-    SELECT query_id, cand_id, cosine, rank FROM (
+    ),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT 'topk' AS src, query_id AS id_a, cand_id AS id_b, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 10
+    UNION ALL
+    SELECT 'near_dup', a.vec_id, b.vec_id,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6),
+           CAST(NULL AS BIGINT)
+    FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
 )
-def q_cosine_topk(spark, sf_dir):
+def q_embedding_exact_baselines(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.brute_force_topk(emb, queries, k=10)
-    return out.select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    topk = similarity.brute_force_topk(emb, queries, k=10).select(
+        F.lit("topk").alias("src"),
+        F.col("query_id").alias("id_a"),
+        F.col("cand_id").alias("id_b"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = similarity.batch_cosine_udf()
+    near = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select(
+            F.lit("near_dup").alias("src"),
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine"),
+            F.lit(None).cast("long").alias("rank"),
+        )
+    )
+    return topk.unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — events matched to overlapping value bands via
+# the grid-binned equi-join reformulation (operators/rangejoin.py: both
+# sides stay distributed, no nested-loop broadcast). Band bounds are
+# exact binary literals (k*10, k*10 + 17.5) so the half-open boundary
+# comparisons cannot diverge between engines; bands overlap, so points
+# can match 0, 1, or 2 bands and the exactly-once guarantee is
+# exercised.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_bands",
+    """
+    WITH bands AS (
+      SELECT g.b AS band_id, g.b * 10.0 AS lo, g.b * 10.0 + 17.5 AS hi
+      FROM (SELECT unnest(generate_series(0, 48)) AS b) g
+    )
+    SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_range_join_bands(spark, sf_dir):
+    from .operators.rangejoin import range_join_binned
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value")
+    bands = (
+        spark.range(0, 49)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 10.0).alias("lo"),
+            (F.col("id") * 10.0 + 17.5).alias("hi"),
+        )
+    )
+    return range_join_binned(ev, bands, point_col="value", lo_col="lo", hi_col="hi", cell_width=8.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1077,33 +1147,8 @@ def q_currency_clean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup, exact threshold join (training-data ops)
-# ---------------------------------------------------------------------------
-@register(
-    "embedding_near_dup_exact",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    """,
-)
-def q_embedding_near_dup_exact(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = similarity.batch_cosine_udf()
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
-
-
+# embedding-cosine near-dup exact threshold join: value-checked inside
+# the consolidated `embedding_exact_baselines` gate (src='near_dup').
 # ---------------------------------------------------------------------------
 # F1/F2 — LLM-response JSON extraction cascade + manual scrape fallback
 # (app/services/gemini.py:197-284). Spark constructs a synthetic
