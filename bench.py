@@ -37,10 +37,33 @@ HEADLINE = [
     "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
     "dedup_clusters",          # connected components over the near-dup pair graph
     "text_quality",            # tokenization stats + quality scoring over documents
-    "cosine_topk",             # brute-force cosine top-k ANN baseline
-    "ann_ivf_topk",            # IVF-cell ANN scale path
     "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip
+    "asof_join",               # point-in-time join via union-tag window merge
+    "range_join_bands",        # grid-binned interval join
+    "sequence_packing",        # token-budget chunk layout (two-phase prefix sum)
+    "kmeans_semantic_dedup",   # spherical k-means + SemDeDup pruning
 ]
+# ANN timings keep their r1/r2 names for cross-round comparability: the
+# gate registry consolidated cosine_topk / ann_ivf_topk into src-tagged
+# union gates, so bench times the underlying operators directly. The
+# merged embedding_exact_baselines gate is NOT a headliner — its
+# near-dup half is the labeled all-pairs ORACLE BASELINE (quadratic by
+# construction, ~87 s at sf0.1); benching it would measure the thing
+# the scale paths exist to avoid.
+
+
+def _ann_headliners(spark, sf_dir):
+    from insurance_pdf_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return {
+        "cosine_topk": lambda: similarity.brute_force_topk(emb, qs, k=10),
+        "ann_lsh_topk": lambda: similarity.lsh_topk(emb, qs, k=10, n_planes=6, dim=64),
+        "ann_ivf_topk": lambda: similarity.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=4),
+    }
 
 
 def _run(df) -> None:
@@ -130,12 +153,17 @@ def main() -> None:
     timings["extract_from_storage_presalted_32x"] = round(storage_ns_sec, 3)
     shutil.rmtree(raw_dir, ignore_errors=True)
 
+    # warm run (codegen compile is one-time per JVM), then best-of-2
+    # timed runs: single-shot headliners showed up to 20x spikes from
+    # hypervisor steal invisible to loadavg (BENCH.md variance notes)
     for name in HEADLINE:
         fn = registry[name]
-        _run(fn(spark, sf_dir))  # warm: codegen compile is one-time per JVM
-        t0 = time.perf_counter()
         _run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(_best_of(fn(spark, sf_dir)), 3)
+
+    for name, mk in _ann_headliners(spark, sf_dir).items():
+        _run(mk())
+        timings[name] = round(_best_of(mk()), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -98,31 +98,45 @@ def kmeans_fit(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> np.ndarray:
     """Lloyd iterations; returns (k, dim) unit-norm float64 centroids,
     each quantized to 6 decimals before normalization so an independent
-    reimplementation lands on identical values."""
-    C = _quantize_centroids(_pick_centroids(emb, k, id_col, vec_col))
-    for _ in range(n_iter):
-        assigned = emb.select(
-            _assign_quantize_udf(C)(F.col(vec_col)).alias("a")
-        ).select("a.cluster_id", "a.qvec")
-        sums = (
-            assigned.filter(F.col("cluster_id").isNotNull())
-            .groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("qvec")[i]).alias(f"s{i}") for i in range(dim)],
+    reimplementation lands on identical values.
+
+    cache=True persists the slim (id, vec) projection for the fit's
+    n_iter+1 passes and unpersists on exit — the right default while
+    the projection fits cluster memory; at corpus scale where it does
+    not, pass cache=False and each iteration re-scans (IO per iteration
+    vs memory, the standard Lloyd trade)."""
+    slim = emb.select(F.col(id_col), F.col(vec_col))
+    if cache:
+        slim = slim.persist()
+    try:
+        C = _quantize_centroids(_pick_centroids(slim, k, id_col, vec_col))
+        for _ in range(n_iter):
+            assigned = slim.select(
+                _assign_quantize_udf(C)(F.col(vec_col)).alias("a")
+            ).select("a.cluster_id", "a.qvec")
+            sums = (
+                assigned.filter(F.col("cluster_id").isNotNull())
+                .groupBy("cluster_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(F.col("qvec")[i]).alias(f"s{i}") for i in range(dim)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        newC = C.copy()
-        for row in sums:
-            mean = np.asarray([row[f"s{i}"] for i in range(dim)], dtype=np.float64)
-            mean /= row["n"] * _FP_SCALE
-            newC[row["cluster_id"]] = mean
-        C = _quantize_centroids(newC)
-    return C
+            newC = C.copy()
+            for row in sums:
+                mean = np.asarray([row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+                mean /= row["n"] * _FP_SCALE
+                newC[row["cluster_id"]] = mean
+            C = _quantize_centroids(newC)
+        return C
+    finally:
+        if cache:
+            slim.unpersist()
 
 
 def _quantize_centroids(C: np.ndarray) -> np.ndarray:

@@ -56,6 +56,38 @@ def quality_score_expr(text: Column, n_chars: Column | None = None) -> Column:
     return F.round(0.4 * len_part + 0.4 * stop_part + 0.2 * punct_part, 4)
 
 
+def mean_word_len_expr(col: Column) -> Column:
+    """Mean word length (Gopher §A1.1 keeps docs with mean in [3,10]):
+    non-whitespace chars over whitespace tokens, rounded to 4."""
+    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.round(chars / F.greatest(token_count_expr(col), F.lit(1)), 4)
+
+
+def symbol_word_ratio_expr(col: Column) -> Column:
+    """Gopher symbol-to-word ratio: '#' and ellipsis occurrences per
+    word (filter threshold 0.1 in the paper)."""
+    syms = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0))
+    return F.round(syms / F.greatest(token_count_expr(col), F.lit(1)), 4)
+
+
+def _line_frac_expr(col: Column, line_pred) -> Column:
+    lines = F.split(col, r"\n")
+    hits = F.size(F.filter(lines, line_pred))
+    return F.round(hits / F.greatest(F.size(lines), F.lit(1)), 4)
+
+
+def bullet_line_frac_expr(col: Column) -> Column:
+    """Fraction of lines starting with a bullet (Gopher drops docs with
+    >90% bullet lines). Interpreted HOF over the line array — bounded
+    by line count per doc, not corpus size."""
+    return _line_frac_expr(col, lambda x: F.trim(x).rlike(r"^[-*•]"))
+
+
+def ellipsis_line_frac_expr(col: Column) -> Column:
+    """Fraction of lines ending in an ellipsis (Gopher threshold 30%)."""
+    return _line_frac_expr(col, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+
+
 def lang_guess_expr(col: Column) -> Column:
     """n-gram/stopword heuristic language ID over {en,de,fr,es}: argmax
     of per-language stopword hits, 'en' on ties (deterministic

@@ -800,7 +800,10 @@ def q_clean_text(spark, sf_dir):
            CAST(coalesce(topb.top_c, 0) AS BIGINT) AS top_bigram_count,
            round(coalesce(topb.top_c, 0) * 2.0 / greatest(len(rep_w.ws), 1), 4) AS top_bigram_frac,
            round(coalesce(fdup.dup_pos, 0) * 1.0 / greatest(coalesce(fdup.tot_pos, 0), 1), 4)
-             AS dup_5gram_frac
+             AS dup_5gram_frac,
+           round(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+             AS mean_word_len
     FROM documents d
     JOIN rep_w USING (doc_id)
     LEFT JOIN topb USING (doc_id)
@@ -817,6 +820,7 @@ def q_text_quality(spark, sf_dir):
             "n_bpe_ish"
         ),
         tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
+        tq.mean_word_len_expr(F.col("text")).alias("mean_word_len"),
     )
     return tq.repetition_stats(base).drop("text")
 
