@@ -447,6 +447,85 @@ def duplicated_window_positions(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    window: int = 40,
+    train_stride: int = 20,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its ``train_stride``-grid windows appear VERBATIM anywhere in the
+    benchmark corpus (the train/test-overlap scan GPT-3/PaLM-style
+    pipelines run before training).
+
+    Asymmetric enumeration is the scalable shape: the benchmark side is
+    small, so its windows are enumerated at stride 1 (every substring
+    of length ``window``) and reduced to a DISTINCT xxhash64 key set;
+    the training side — the 10^12-doc corpus — pays only the stride
+    grid. A shared region of at least ``window + train_stride - 1``
+    chars must contain a grid-aligned training window, and stride-1
+    benchmark enumeration covers every benchmark substring, so
+    detection above that length is GUARANTEED (probabilistic below,
+    same recall contract as duplicated_window_positions).
+
+    The join carries (id, pos, 8-byte key) on the train side and bare
+    keys on the bench side; with ``broadcast_bench`` the key set ships
+    to executors and the scan is map-side — zero shuffle of the
+    training corpus. Returns every training doc: (id, n_hits,
+    first_hit_pos) with (0, -1) for clean docs.
+    """
+    tw = (
+        train.select(id_col, text_col)
+        .filter(F.length(text_col) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - window, F.lit(train_stride))
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(F.col(text_col).substr(F.col("pos") + 1, F.lit(window))).alias("k"),
+        )
+    )
+    bw = (
+        bench.select(bench_text_col)
+        .filter(F.length(bench_text_col) >= window)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.length(bench_text_col) - window, F.lit(1))
+            ).alias("bpos"),
+            F.col(bench_text_col),
+        )
+        .select(
+            F.xxhash64(
+                F.col(bench_text_col).substr(F.col("bpos") + 1, F.lit(window))
+            ).alias("k")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bw = F.broadcast(bw)
+    hits = tw.join(bw, "k").groupBy(id_col).agg(
+        F.count("*").alias("n_hits"), F.min("pos").alias("first_hit_pos")
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("first_hit_pos", F.lit(-1).cast("long")).alias("first_hit_pos"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     id_col: str = "doc_id",

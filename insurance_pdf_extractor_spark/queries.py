@@ -725,21 +725,40 @@ def q_normalize_suite(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # F9 — text cleanup (app/utils/validators.py:92-112)
 # ---------------------------------------------------------------------------
-# F9 + F11 consolidated into ONE gate row (50-query driver window):
-# both are per-doc text normalizers over the same table, so one select
-# value-checks the cleanup cascade AND the state-code extractor
-# (app/utils/validators.py:162-234).
+_LANG_SQL_HITS = {
+    lang: "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b'))"
+    for lang, words in tq.STOPWORDS.items()
+}
+
+# F9 + F11 + language-ID consolidated into ONE gate row (50-query
+# driver window): all three are per-doc scalar outputs over the same
+# table, so one select value-checks the cleanup cascade, the
+# state-code extractor (app/utils/validators.py:162-234), AND the
+# stopword-argmax language guess (formerly the lang_guess gate).
 @register(
     "clean_text",
     """
-    SELECT doc_id,
+    WITH h AS (
+      SELECT doc_id,
+             __H_EN__ AS h_en, __H_DE__ AS h_de, __H_FR__ AS h_fr, __H_ES__ AS h_es
+      FROM documents
+    )
+    SELECT d.doc_id,
            trim(regexp_replace(regexp_replace(
              regexp_replace(trim(text), '\\s+', ' ', 'g'), '[·•]', '', 'g'),
              '\\s+', ' ', 'g')) AS cleaned,
            len(list_filter(regexp_extract_all(upper(text), '\\b([A-Z]{2})\\b', 1),
-               x -> x IN (__STATES__))) AS n_state_codes
-    FROM documents
-    """.replace("__STATES__", ",".join(f"'{s}'" for s in US_STATES)),
+               x -> x IN (__STATES__))) AS n_state_codes,
+           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM documents d JOIN h USING (doc_id)
+    """.replace("__STATES__", ",".join(f"'{s}'" for s in US_STATES))
+    .replace("__H_EN__", _LANG_SQL_HITS["en"])
+    .replace("__H_DE__", _LANG_SQL_HITS["de"])
+    .replace("__H_FR__", _LANG_SQL_HITS["fr"])
+    .replace("__H_ES__", _LANG_SQL_HITS["es"]),
 )
 def q_clean_text(spark, sf_dir):
     from .functions.normalizers import extract_state_codes_expr
@@ -749,6 +768,7 @@ def q_clean_text(spark, sf_dir):
         "doc_id",
         clean_text_expr(F.col("text")).alias("cleaned"),
         F.size(extract_state_codes_expr(F.col("text"))).alias("n_state_codes"),
+        tq.lang_guess_expr(F.col("text")).alias("lang_guess"),
     )
 
 
@@ -826,35 +846,49 @@ def q_text_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# language-ID heuristic (training-data ops)
+# Benchmark decontamination (training-data ops): per training doc, the
+# count of stride-grid windows appearing verbatim in a benchmark set.
+# The gate PLANTS contamination deterministically — benchmark texts are
+# substrings of training docs 10-29 — so hits exist by construction;
+# DuckDB joins on the window TEXT where Spark joins on xxhash64
+# (identical modulo 64-bit collisions, the dup_ngram_spans precedent).
+# Language-ID moved into the clean_text gate (src column) to keep the
+# registry at 50.
 # ---------------------------------------------------------------------------
-_LANG_SQL_HITS = {
-    lang: "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b'))"
-    for lang, words in tq.STOPWORDS.items()
-}
-
 @register(
-    "lang_guess",
-    f"""
-    WITH h AS (
-      SELECT doc_id,
-             {_LANG_SQL_HITS['en']} AS h_en,
-             {_LANG_SQL_HITS['de']} AS h_de,
-             {_LANG_SQL_HITS['fr']} AS h_fr,
-             {_LANG_SQL_HITS['es']} AS h_es
-      FROM documents
+    "contamination",
+    """
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+    bench AS (
+      SELECT substr(text, 51, 120) AS btext FROM documents WHERE doc_id BETWEEN 10 AND 29
+    ),
+    bw AS (
+      SELECT DISTINCT substr(btext, CAST(t.i AS INT) + 1, 40) AS wtext
+      FROM bench, LATERAL unnest(generate_series(0, len(btext) - 40, 1)) AS t(i)
+      WHERE len(btext) >= 40
+    ),
+    tw AS (
+      SELECT doc_id, t.i AS pos, substr(text, CAST(t.i AS INT) + 1, 40) AS wtext
+      FROM train, LATERAL unnest(generate_series(0, len(text) - 40, 20)) AS t(i)
+      WHERE len(text) >= 40
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits, min(pos) AS first_hit_pos
+      FROM tw JOIN bw USING (wtext) GROUP BY doc_id
     )
-    SELECT doc_id,
-           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-                WHEN h_fr >= h_es THEN 'fr'
-                ELSE 'es' END AS lang_guess
-    FROM h
+    SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.first_hit_pos, -1) AS first_hit_pos
+    FROM (SELECT doc_id FROM train) t LEFT JOIN hits h USING (doc_id)
     """,
 )
-def q_lang_guess(spark, sf_dir):
+def q_contamination(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
-    return d.select("doc_id", tq.lang_guess_expr(F.col("text")).alias("lang_guess"))
+    train = d.filter(F.col("doc_id") >= 10).select("doc_id", "text")
+    bench = (
+        d.filter(F.col("doc_id").between(10, 29))
+        .select(F.substring("text", 51, 120).alias("text"))
+    )
+    return dedup.contamination_hits(train, bench, window=40, train_stride=20)
 
 
 # ---------------------------------------------------------------------------
