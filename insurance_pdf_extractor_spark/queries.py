@@ -99,6 +99,12 @@ def _fx(name: str) -> str | None:
 # ---------------------------------------------------------------------------
 # A1 — global multi-agg (app/services/storage.py:442-458)
 # ---------------------------------------------------------------------------
+# + exact percentiles (r3): Spark `percentile` and DuckDB
+# `quantile_cont` use the same p*(n-1) linear interpolation; round(,4)
+# absorbs last-ulp arithmetic-order differences. The approximate scale
+# path is `approx_percentile` (KLL-sketch, single pass, mergeable) —
+# it cannot value-match an oracle by construction, so the exact form
+# anchors correctness and the approx form is bench/production-only.
 @register(
     "overall_stats",
     """
@@ -106,7 +112,10 @@ def _fx(name: str) -> str | None:
            round(sum(o_totalprice), 2) AS total_price,
            round(avg(o_totalprice), 4) AS avg_price,
            min(o_totalprice) AS min_price,
-           max(o_totalprice) AS max_price
+           max(o_totalprice) AS max_price,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
     FROM orders WHERE o_totalprice IS NOT NULL
     """,
 )
@@ -120,6 +129,9 @@ def q_overall_stats(spark, sf_dir):
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
         )
     )
 

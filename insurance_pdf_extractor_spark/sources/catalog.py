@@ -77,3 +77,59 @@ def read_table_evolved(spark: SparkSession, target: str) -> DataFrame:
             F.coalesce(F.col("magic"), F.substring(F.col("content").cast("binary"), 1, 5)),
         )
     return df
+
+
+def compact_table(
+    spark: SparkSession,
+    target: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance rewrite a 10^12-row
+    table needs after many checkpointed micro-appends (each resumable
+    bucket append of plans/checkpoint.py creates files; a month of runs
+    creates millions). Iceberg exposes this as the rewrite_data_files
+    procedure; the parquet fallback rewrites in place with the same
+    contract: identical rows, file count set by total bytes /
+    ``target_file_bytes``, optional sort for locality (range partition
+    + in-file sort, so readers get clustered + min/max-prunable files).
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    metrics sink. The rewrite is atomic-ish for the parquet fallback
+    (write to a sibling tmp dir, then swap) — Iceberg does this
+    transactionally; a posix rename pair is the closest fallback and is
+    explicitly NOT concurrent-writer safe (documented trade)."""
+    import os
+    import shutil
+
+    if iceberg_available(spark) and "/" not in target:
+        spark.sql(
+            f"CALL system.rewrite_data_files(table => '{target}', "
+            f"options => map('target-file-size-bytes','{target_file_bytes}'))"
+        )
+        return {"files_before": -1, "files_after": -1, "bytes": -1}
+
+    def _stats(d: str):
+        files = [
+            os.path.join(r, f)
+            for r, _dd, ff in os.walk(d)
+            for f in ff
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    n_before, total = _stats(target)
+    df = spark.read.parquet(target)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_out)
+    tmp = target.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = target.rstrip("/") + "._compact_old"
+    os.rename(target.rstrip("/"), old)
+    os.rename(tmp, target.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    n_after, _ = _stats(target)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
