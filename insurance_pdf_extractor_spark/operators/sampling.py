@@ -102,3 +102,48 @@ def hash_split_expr(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def mix_sources(
+    df: DataFrame,
+    key: Column,
+    source: Column,
+    weights: Mapping[str, float],
+    budget: int | None = None,
+    salt: str = ":mix",
+) -> DataFrame:
+    """Domain-mixture balancing: downsample each source so the KEPT
+    corpus approaches the target mixture ``weights`` (e.g. {'web': .6,
+    'books': .3, 'code': .1}) — the data-mixing stage of a training
+    pipeline (cf. The Pile / DoReMi-style static mixtures).
+
+    Rates come from one tiny per-source count aggregate (shuffle of
+    n_sources rows): with ``budget`` tokens/docs targeted overall, the
+    keep rate for source s is min(1, budget*w_s / n_s); without a
+    budget, the largest feasible corpus matching the mixture exactly is
+    taken (bound by the scarcest source: budget = min_s n_s / w_s).
+    Selection itself is the same map-side md5-threshold filter as
+    :func:`stratified_sample` — no corpus shuffle, reproducible at any
+    cluster size, monotone in the budget (growing the budget only ADDS
+    documents; no reshuffling of prior picks).
+
+    Upsampling (rate > 1) is out of scope here: repeat-aware mixtures
+    multiply epochs on the small source rather than duplicate rows
+    (duplication would collide with the dedup stages upstream).
+    """
+    sources = list(weights)
+    counts = {
+        r["_src"]: r["n"]
+        for r in df.select(source.alias("_src"))
+        .filter(F.col("_src").isin(sources))
+        .groupBy("_src")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = [s for s in sources if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"sources absent from the corpus: {missing}")
+    if budget is None:
+        budget = int(min(counts[s] / w for s, w in weights.items() if w > 0))
+    fractions = {s: min(1.0, budget * w / counts[s]) for s, w in weights.items()}
+    return stratified_sample(df, key, source, fractions, default=0.0, salt=salt)

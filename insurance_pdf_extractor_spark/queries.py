@@ -1012,6 +1012,14 @@ def q_dup_ngram_spans(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SAMPLE_FRACS = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
+# mixture gate parameters (r3): target weights over four sources and a
+# doc budget; keep rates derive from the PER-SOURCE COUNTS at runtime
+# (min(1, budget*w/n)), so the oracle recomputes the same rates in SQL
+# and formats the same 12-hex threshold (printf %012x == Python format
+# '012x'; the rate arithmetic is the identical IEEE expression on both
+# sides). mix_keep column = membership in the real mix_sources output.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 50
 
 
 def _sample_split_sql() -> str:
@@ -1020,32 +1028,52 @@ def _sample_split_sql() -> str:
     strat = " ".join(
         f"WHEN '{lang}' THEN '{hex_threshold(frac)}'" for lang, frac in _SAMPLE_FRACS.items()
     )
+    wvals = ",".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
     return f"""
     WITH s AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, source,
              substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 12) AS dsamp,
-             substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 12) AS dsplit
+             substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 12) AS dsplit,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 12) AS dmix
       FROM documents
+    ),
+    fr AS (
+      SELECT source, least(1.0, {_MIX_BUDGET} * w.wt / count(*)) AS f
+      FROM s JOIN (VALUES {wvals}) AS w(source, wt) USING (source)
+      GROUP BY source, w.wt
+    ),
+    mk AS (
+      SELECT doc_id, true AS mix_keep
+      FROM s JOIN fr USING (source)
+      WHERE f >= 1.0
+         OR dmix < printf('%012x', CAST(floor(f * 281474976710656) AS BIGINT))
     )
     SELECT doc_id, lang,
            CASE WHEN dsplit < '{hex_threshold(0.8)}' THEN 'train'
                 WHEN dsplit < '{hex_threshold(0.9)}' THEN 'val'
-                ELSE 'test' END AS split
-    FROM s
+                ELSE 'test' END AS split,
+           coalesce(mk.mix_keep, false) AS mix_keep
+    FROM s LEFT JOIN mk USING (doc_id)
     WHERE dsamp < CASE lang {strat} ELSE '{hex_threshold(_SAMPLE_DEFAULT)}' END
     """
 
 
 @register("hash_sample_split", _sample_split_sql())
 def q_hash_sample_split(spark, sf_dir):
-    from .operators.sampling import hash_split_expr, stratified_sample
+    from .operators.sampling import hash_split_expr, mix_sources, stratified_sample
 
     d = _load(spark, sf_dir, "documents")
     kept = stratified_sample(
         d, F.col("doc_id"), F.col("lang"), _SAMPLE_FRACS, default=_SAMPLE_DEFAULT
     )
-    return kept.select(
-        "doc_id", "lang", hash_split_expr(F.col("doc_id")).alias("split")
+    mixed = mix_sources(
+        d, F.col("doc_id"), F.col("source"), _MIX_WEIGHTS, budget=_MIX_BUDGET
+    ).select("doc_id", F.lit(True).alias("mix_keep"))
+    return kept.join(mixed, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        hash_split_expr(F.col("doc_id")).alias("split"),
+        F.coalesce("mix_keep", F.lit(False)).alias("mix_keep"),
     )
 
 
