@@ -56,11 +56,17 @@ def pack_documents(
     budget: int = 512,
     bucket_chars: int = 2,
     salt: str = ":pack",
+    cache: bool = True,
 ) -> DataFrame:
     """One row per (document, chunk) it occupies: (id, n_tokens,
     start_offset, chunk_id, begin_in_chunk, end_in_chunk). Documents
     with zero tokens occupy no chunk and emit no rows (they still shift
     nothing, so their absence does not perturb other offsets).
+
+    The keyed (id, tok, okey, bucket) projection is read twice — once
+    for the bucket totals, once for the placement pass — so cache=True
+    persists it (~40 B/doc). Pass cache=False to re-scan instead when
+    even the slim projection exceeds cluster memory.
     """
     okey = _digest(F.col(id_col), salt)
     keyed = df.select(
@@ -68,6 +74,8 @@ def pack_documents(
         F.col(token_col).cast("long").alias("_tok"),
         okey.alias("_okey"),
     ).withColumn("_bucket", F.substring("_okey", 1, bucket_chars))
+    if cache:
+        keyed = keyed.persist()
 
     w = (
         Window.partitionBy("_bucket")
