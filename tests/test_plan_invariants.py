@@ -27,8 +27,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # against every candidate (BroadcastNestedLoopJoin, not a shuffled
 # CartesianProduct — asserted separately below).
 CROSS_OK = {
-    "cosine_topk",          # exact ANN baseline: 3 queries x all candidates
-    "embedding_near_dup_exact",  # labeled all-pairs oracle baseline
+    # r3 consolidation: cosine_topk + embedding_near_dup_exact — the
+    # two labeled exact baselines — merged under one src-tagged gate
+    "embedding_exact_baselines",
     "ann_ivf_exhaustive",   # n_probe = n_centroids: equivalence-to-brute-force gate
     "cost_model",           # ONE-row broadcast global aggregate joined onto per-group rows
 }
@@ -82,7 +83,7 @@ def test_search_filters_pushdown_and_pruning(spark, registry):
 def test_documents_scans_prune_to_used_columns(spark, registry):
     """Text-analysis queries read (doc_id, text) — the scan must not
     drag the rest of the documents schema along."""
-    for name in ("text_quality", "lang_guess"):
+    for name in ("text_quality", "clean_text"):
         plan = _plan(spark, registry[name](spark, SF_DIR))
         read = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert read, f"{name}: no parquet ReadSchema in plan"
