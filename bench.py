@@ -131,8 +131,12 @@ def main() -> None:
     reps = docs_tbl.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).select(
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"), "doc_id", "text"
     ).select(F.concat_ws("-", "rep", "doc_id").alias("doc_id"), "text")
+    # best-of-3 here specifically: the render-inclusive sustained path
+    # is the metric that absorbed 4-20x hypervisor-steal spikes across
+    # rounds (BENCH.md variance notes) — a third rep materially raises
+    # the odds one execution lands in a clean window
     sustained_job = extract_results(render_documents_raw(reps))
-    sustained_sec = _best_of(sustained_job)
+    sustained_sec = _best_of(sustained_job, n=3)
     timings["extract_sustained_32x"] = round(sustained_sec, 3)
 
     # production shape: raw documents already persisted as parquet —
