@@ -70,14 +70,19 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _best_of(df, n: int = 2) -> float:
+def _best_of(df_or_thunk, n: int = 2) -> float:
     """min wall over n executions — the shared box carries external
     load spikes (observed 3x inflation at loadavg ~9); min is the
-    stable capacity estimator (cf. BENCH.md variance notes)."""
+    stable capacity estimator (cf. BENCH.md variance notes).
+
+    Accepts a DataFrame or a zero-arg builder. Pass a BUILDER for
+    queries whose construction itself runs Spark jobs (kmeans fit's
+    Lloyd passes, packing's bucket-base collect) so the timed window
+    covers the whole query, not just the final plan's execution."""
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        _run(df)
+        _run(df_or_thunk() if callable(df_or_thunk) else df_or_thunk)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -163,11 +168,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name]
         _run(fn(spark, sf_dir))
-        timings[name] = round(_best_of(fn(spark, sf_dir)), 3)
+        timings[name] = round(_best_of(lambda: fn(spark, sf_dir)), 3)
 
     for name, mk in _ann_headliners(spark, sf_dir).items():
         _run(mk())
-        timings[name] = round(_best_of(mk()), 3)
+        timings[name] = round(_best_of(mk), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
