@@ -167,22 +167,57 @@ def q_stats_by_group(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # A3 — daily trends over a date window (app/services/storage.py:482-497)
+# — consolidated into `trend_window` (r3): its daily CTE now carries
+# n_events plus the date-cutoff subtotals (FILTER-agg columns), so every
+# value this gate checked is still checked there. Slot freed for
+# `sessionize`.
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — inactivity-gap sessions over the events stream
+# (operators/sessions.py: lag + running-sum windows per user, one key
+# exchange), reduced to per-session stats. The oracle restates the
+# same two-window construction in DuckDB; events has no (user_id, ts)
+# ties but the tiebreak column keeps the contract explicit.
 # ---------------------------------------------------------------------------
 @register(
-    "daily_trends",
+    "sessionize",
     """
-    SELECT CAST(ts AS DATE) AS date,
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts, value,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM s
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
-           round(sum(value), 4) AS daily_value
-    FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-    GROUP BY CAST(ts AS DATE)
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           round(sum(value), 4) AS total_value
+    FROM numbered GROUP BY user_id, session_no
     """,
 )
-def q_daily_trends(spark, sf_dir):
-    ev = _load(spark, sf_dir, "events").filter(F.col("ts") >= "2024-01-08")
-    return ev.groupBy(F.to_date("ts").alias("date")).agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("daily_value"),
+def q_sessionize(spark, sf_dir):
+    from .operators.sessions import session_stats
+
+    ev = _load(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events",
+        "start_ts",
+        "end_ts",
+        "duration_us",
+        "total_value",
     )
 
 
@@ -495,30 +530,49 @@ def q_sequence_packing(spark, sf_dir):
 # A7 — 7-day moving average + trend classification
 # (app/api/routes/analytics.py:129-148,362-378)
 # ---------------------------------------------------------------------------
+# (absorbs the former daily_trends gate: n_events + the A3 date-cutoff
+# subtotal columns ride the same daily aggregate)
 @register(
     "trend_window",
     """
     WITH daily AS (
-      SELECT CAST(ts AS DATE) AS date, round(sum(value), 4) AS daily_value
+      SELECT CAST(ts AS DATE) AS date,
+             count(*) AS n_events,
+             round(sum(value), 4) AS daily_value,
+             count(*) FILTER (ts >= TIMESTAMP '2024-01-08 00:00:00') AS n_events_cut,
+             round(sum(value) FILTER (ts >= TIMESTAMP '2024-01-08 00:00:00'), 4) AS daily_value_cut
       FROM events GROUP BY CAST(ts AS DATE)
     )
-    SELECT date, daily_value,
+    SELECT date, n_events, daily_value, n_events_cut, daily_value_cut,
            round(avg(daily_value) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
              AS ma7
     FROM daily
     """,
 )
 def q_trend_window(spark, sf_dir):
+    cut = F.col("ts") >= "2024-01-08"
     daily = (
         _load(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("date"))
-        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("daily_value"),
+            F.count(F.when(cut, 1)).alias("n_events_cut"),
+            F.round(F.sum(F.when(cut, F.col("value"))), 4).alias("daily_value_cut"),
+        )
     )
     # Unpartitioned window over the DAILY aggregate (one row per date —
     # bounded by calendar days, not corpus size): the WindowExec
     # single-partition warning is benign at any scale.
     w = Window.orderBy("date").rowsBetween(-6, 0)
-    return daily.select("date", "daily_value", F.round(F.avg("daily_value").over(w), 4).alias("ma7"))
+    return daily.select(
+        "date",
+        "n_events",
+        "daily_value",
+        "n_events_cut",
+        "daily_value_cut",
+        F.round(F.avg("daily_value").over(w), 4).alias("ma7"),
+    )
 
 
 # ---------------------------------------------------------------------------
