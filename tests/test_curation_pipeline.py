@@ -1,0 +1,76 @@
+"""curate_corpus: the full funnel on a corpus with planted junk, PII,
+exact dups, and near-dups — counts drop monotonically, the right docs
+survive, and the packing tiles the survivors exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark.plans.curation import curate_corpus, stage_counts
+
+def _doc(i: int) -> str:
+    # stopword-rich opener for the quality gate, then a per-doc-unique
+    # body so distinct docs share almost no shingles (Jaccard ~0)
+    body = " ".join(f"tok{i}x{j}" for j in range(25))
+    return f"the story of item {i} is that " + body
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _doc(i)) for i in range(40)]                     # distinct good docs
+    rows.append((100, "tiny"))                                   # under min_tokens
+    rows.append((101, ("spam " * 200).strip()))                  # repetition junk
+    rows.append((102, _doc(0)))                                  # exact dup of 0
+    rows.append((103, _doc(1) + " extraword"))                   # near dup of 1
+    rows.append((104, _doc(104).replace("tok104x3", "jane.doe@example.com")))  # distinct doc with PII
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def curated(corpus):
+    return curate_corpus(corpus, min_tokens=8, min_quality=0.1, min_jaccard=0.5)
+
+
+def test_funnel_monotone(spark, curated):
+    counts = stage_counts(curated)
+    order = ["raw", "quality", "exact_dedup", "near_dedup", "sampled"]
+    vals = [counts[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["raw"] == 45
+    assert counts["quality"] <= 43  # junk docs gone
+
+
+def test_right_docs_dropped(spark, curated):
+    ids = {r["doc_id"] for r in curated["survivors"].select("doc_id").collect()}
+    assert 100 not in ids          # too short
+    assert 101 not in ids          # repetition junk
+    assert 102 not in ids          # exact dup loses to min id 0
+    assert 0 in ids
+    # near-dup pair (1, 103): cluster keeps the minimum
+    assert not {1, 103} <= ids
+    assert 1 in ids
+
+
+def test_pii_redacted(spark, curated):
+    row = curated["survivors"].filter(F.col("doc_id") == 104).collect()
+    assert row, "PII doc should survive (content is fine once redacted)"
+    assert "example.com" not in row[0]["text"]
+    assert "<EMAIL>" in row[0]["text"]
+
+
+def test_packing_tiles_survivors(spark, curated):
+    total = (
+        curated["survivors"].agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    pk = curated["packing"].toPandas()
+    assert int((pk["end_in_chunk"] - pk["begin_in_chunk"]).sum()) == total
+    assert set(pk["doc_id"]) <= {
+        r["doc_id"] for r in curated["survivors"].select("doc_id").collect()
+    }
+
+
+def test_split_labels_partition(spark, curated):
+    splits = curated["survivors"].groupBy("split").count().collect()
+    assert {r["split"] for r in splits} <= {"train", "val", "test"}
+    assert sum(r["count"] for r in splits) == curated["survivors"].count()
