@@ -94,3 +94,33 @@ def streaming_exact_dedup(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming analog of operators/sessions.py: F.session_window
+    merges events within ``gap`` of each other into one growing window
+    per user; the watermark bounds session state (a session closes —
+    and emits — once the watermark passes its end). Same semantics as
+    the batch two-window rewrite, computed incrementally."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("start_ts"),
+            F.col("session_window.end").alias("end_ts"),
+            "n_events",
+            "total_value",
+        )
+    )
