@@ -526,6 +526,114 @@ def contamination_hits(
     )
 
 
+def merged_dup_islands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document: the gaps-and-islands merge
+    of :func:`duplicated_window_positions` hits (a window opens a new
+    island iff its start exceeds the running max end of all earlier
+    windows), entirely in window functions partitioned BY DOCUMENT —
+    frames bounded by windows-per-doc (len/stride), never corpus size.
+    Returns (id, island, s, e) with 0-based half-open [s, e) spans.
+    Shared by the stats view (:func:`duplicated_ngram_spans`) and the
+    rewrite (:func:`remove_duplicated_spans`)."""
+    dw = duplicated_window_positions(docs, id_col, text_col, window, stride, min_count)
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dw.withColumn(
+        "island",
+        F.sum((F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")).over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """The curation ACTION behind :func:`duplicated_ngram_spans`: emit
+    each document with its duplicated spans cut out (Lee et al. 2022
+    apply exactly this rewrite before training). Relational end to end
+    — no UDF:
+
+    * kept segments are the complement intervals of the merged islands,
+      derived with one ``lag(e)`` window per document (frames bounded
+      by spans-per-doc);
+    * each segment is a JVM-side ``substr`` — document text is touched
+      only on the doc's own rows, never shuffled beyond the island
+      join;
+    * the ordered reassembly is ``array_sort(collect_list(struct(ord,
+      piece)))`` + concat, the distributed ORDER-BY-inside-group shape
+      (DuckDB mirrors it 1:1 with ``string_agg(... ORDER BY)``), so the
+      gate can value-check the rewritten text exactly (md5).
+
+    Returns every input document: (id, text_clean, removed_chars) with
+    text_clean == text and removed_chars == 0 for clean docs. Invariant
+    (pinned by tests + gate): length(text_clean) == length(text) -
+    dup_chars from :func:`duplicated_ngram_spans`.
+    """
+    spans = merged_dup_islands(docs, id_col, text_col, window, stride, min_count)
+    text = docs.select(id_col, text_col)
+    by_doc = Window.partitionBy(id_col).orderBy("s")
+    segs = spans.select(
+        id_col, "s", "e", F.lag("e", 1, 0).over(by_doc).alias("prev_e")
+    )
+    body = segs.join(text, id_col).select(
+        id_col,
+        F.col("s").cast("long").alias("ord"),
+        F.col(text_col).substr(F.col("prev_e") + 1, F.col("s") - F.col("prev_e")).alias("piece"),
+    )
+    tail = (
+        spans.groupBy(id_col)
+        .agg(F.max("e").alias("mx"))
+        .join(text, id_col)
+        .select(
+            id_col,
+            (F.length(text_col) + 1).cast("long").alias("ord"),
+            F.col(text_col)
+            .substr(F.col("mx") + 1, F.greatest(F.length(text_col) - F.col("mx"), F.lit(0)))
+            .alias("piece"),
+        )
+    )
+    rebuilt = (
+        body.unionByName(tail)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("_clean"),
+        )
+    )
+    removed = spans.groupBy(id_col).agg(F.sum(F.col("e") - F.col("s")).alias("_removed"))
+    return (
+        docs.select(id_col, text_col)
+        .join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_clean", F.col(text_col)).alias("text_clean"),
+            F.coalesce("_removed", F.lit(0).cast("long")).alias("removed_chars"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -549,18 +657,7 @@ def duplicated_ngram_spans(
     to text; the stats frame is what a dedup-rate dashboard and the
     keep/drop policy consume.
     """
-    dw = duplicated_window_positions(docs, id_col, text_col, window, stride, min_count)
-    by_doc = Window.partitionBy(id_col).orderBy("pos")
-    prev_max_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
-    islands = dw.withColumn(
-        "island",
-        F.sum((F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")).over(
-            by_doc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    spans = islands.groupBy(id_col, "island").agg(
-        F.min("pos").alias("s"), F.max("end").alias("e")
-    )
+    spans = merged_dup_islands(docs, id_col, text_col, window, stride, min_count)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("dup_spans"), F.sum(F.col("e") - F.col("s")).alias("dup_chars")
     )

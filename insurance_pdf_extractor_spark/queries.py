@@ -1045,17 +1045,47 @@ _DUP_W, _DUP_S = 40, 20
       FROM pm
     ),
     spans AS (SELECT doc_id, island, min(pos) AS st, max(e) AS en FROM isl GROUP BY doc_id, island),
-    per_doc AS (SELECT doc_id, count(*) AS dup_spans, sum(en - st) AS dup_chars FROM spans GROUP BY doc_id)
+    per_doc AS (SELECT doc_id, count(*) AS dup_spans, sum(en - st) AS dup_chars FROM spans GROUP BY doc_id),
+    segs AS (
+      SELECT doc_id, st, en,
+             coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 0) AS prev_e
+      FROM spans
+    ),
+    pieces AS (
+      SELECT s2.doc_id, CAST(s2.st AS BIGINT) AS ord,
+             substr(d.text, CAST(s2.prev_e + 1 AS INT), CAST(greatest(s2.st - s2.prev_e, 0) AS INT)) AS piece
+      FROM segs s2 JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT sp.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+             substr(d.text, CAST(sp.mx + 1 AS INT), CAST(greatest(length(d.text) - sp.mx, 0) AS INT)) AS piece
+      FROM (SELECT doc_id, max(en) AS mx FROM spans GROUP BY doc_id) sp
+      JOIN documents d USING (doc_id)
+    ),
+    clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_clean FROM pieces GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
            CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
-           round(coalesce(p.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_fraction
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+           round(coalesce(p.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_fraction,
+           CAST(length(coalesce(c.text_clean, d.text)) AS BIGINT) AS clean_len,
+           md5(coalesce(c.text_clean, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN per_doc p USING (doc_id) LEFT JOIN clean c USING (doc_id)
     """,
 )
 def q_dup_ngram_spans(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
-    return dedup.duplicated_ngram_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
+    stats = dedup.duplicated_ngram_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
+    # the rewrite rides the same gate row: clean_len re-proves the
+    # dup_chars accounting (clean_len == len - dup_chars) and clean_md5
+    # value-checks the rewritten TEXT itself, not just its length
+    cleaned = dedup.remove_duplicated_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
+    return stats.join(
+        cleaned.select(
+            "doc_id",
+            F.length("text_clean").cast("long").alias("clean_len"),
+            F.md5("text_clean").alias("clean_md5"),
+        ),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,66 @@ def test_duplicated_spans_short_docs_zero(spark):
     assert all(r.dup_spans == 0 and r.dup_fraction == 0.0 for r in out)
 
 
+def test_remove_duplicated_spans_rewrite(spark):
+    # planted shared boilerplate: the rewrite must cut EXACTLY the
+    # merged island and stitch the flanks back together in order
+    boiler = "B" * 45
+    rows = [
+        (0, "x" * 30 + boiler + "y" * 30),
+        (1, "p" * 25 + boiler + "q" * 35),
+        (2, "unique text without any repeats " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: r
+        for r in dedup.duplicated_ngram_spans(df, window=40, stride=5, min_count=2).collect()
+    }
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicated_spans(df, window=40, stride=5, min_count=2).collect()
+    }
+    originals = dict(rows)
+    for i in (0, 1, 2):
+        # invariant: the rewrite removes exactly dup_chars characters
+        assert out[i].removed_chars == stats[i].dup_chars
+        assert len(out[i].text_clean) == len(originals[i]) - stats[i].dup_chars
+    # clean doc passes through untouched
+    assert out[2].text_clean == originals[2] and out[2].removed_chars == 0
+    # the flanks survive, the boilerplate is gone, order preserved
+    assert "B" not in out[0].text_clean or out[0].text_clean.count("B") < 45
+    assert out[0].text_clean.startswith("x") and out[0].text_clean.endswith("y" * 5)
+
+
+def test_remove_duplicated_spans_whole_doc(spark):
+    # two exact-duplicate docs where the merged island covers the grid
+    # reach: only the ungridded tail (< window + stride - 1 chars)
+    # survives — the rewrite result equals the complement of the span
+    text = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    df = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, window=40, stride=20).collect()}
+    n = len(text)
+    cut_end = ((n - 40) // 20) * 20 + 40  # island = [0, last grid window end)
+    for r in out.values():
+        assert r.text_clean == text[cut_end:]
+        assert r.removed_chars == cut_end
+
+
+def test_remove_duplicated_spans_interior_island(spark):
+    # duplicated region strictly interior: prefix + suffix concatenate
+    pre, post = "start-segment " * 5, " end-segment" * 5
+    boiler = "Z" * 80
+    df = spark.createDataFrame(
+        [(0, pre + boiler + post), (1, "other lead " * 7 + boiler + "other tail " * 7)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(df, window=40, stride=20).collect()}
+    # doc 0's cleaned text is exactly prefix+suffix minus whatever part
+    # of the island the grid reached; the island is inside the Z-run
+    assert "Z" * 40 not in out[0].text_clean
+    assert out[0].text_clean.startswith(pre[:10])
+    assert out[0].text_clean.endswith(post[-10:])
+
+
 def test_duplicated_window_positions_args(spark):
     df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
