@@ -33,7 +33,7 @@ HEADLINE = [
     "pk_fk_join",              # J1: orders x customer x nation broadcast join + agg
     "trend_window",            # A7: daily agg + 7-day moving-average window
     "search_filters",          # P4+O1: pushed-down predicates + top-k
-    "dedup_exact",             # hash-groupBy exact dedup over documents
+    "incremental_dedup",       # bloom-prefiltered cross-batch exact dedup
     "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
     "dedup_clusters",          # connected components over the near-dup pair graph
     "text_quality",            # tokenization stats + quality scoring over documents

@@ -673,3 +673,122 @@ def duplicated_ngram_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-batch) exact dedup — Bloom prefilter + exact confirm
+# ---------------------------------------------------------------------------
+# A continuously-ingested corpus dedups each new batch against the
+# 10^12-doc history it has already accepted. Anti-joining the WHOLE
+# batch against the whole history shuffles both sides; the Bloom
+# filter routes the overwhelmingly-common case (genuinely new text)
+# around the join entirely, so the join's batch side carries only
+# ~dup_rate + fpp of the rows. The result is EXACT regardless of fpp:
+# bloom-negatives are *definitely* unseen (kept, no join), and
+# bloom-positives are confirmed with a real anti-join.
+
+
+def _bloom_positions(keys_u64: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(n_hashes, n) probe positions via Kirsch–Mitzenmacher double
+    hashing of the key's two 32-bit halves (h2 forced odd so the probe
+    sequence has full period in the power-of-two table)."""
+    h1 = keys_u64 >> np.uint64(32)
+    h2 = (keys_u64 & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) & np.uint64(n_bits - 1)
+
+
+def bloom_bitmap(df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.ndarray:
+    """Build a Bloom bitmap over an int64 key column EXECUTOR-side: one
+    packed uint64 bitmap per partition via mapInPandas (the
+    treeAggregate shape Spark's own ``df.stat.bloomFilter`` uses), then
+    OR-merged on the driver. The driver traffic is #partitions x
+    n_bits/8 bytes — bounded by the partition count, independent of row
+    count. At 10^12 history rows one global bitmap is impractical
+    (~1.8 GB/1e10 keys at 1% fpp); shard the history by fingerprint
+    range and build one bitmap per shard — same kernel, bounded memory.
+    """
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    n_words = n_bits >> 6
+    out_schema = T.StructType([T.StructField("bits", T.BinaryType())])
+
+    def build(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            any_rows = True
+            k = pdf[key_col].to_numpy(np.int64).view(np.uint64)
+            pos = _bloom_positions(k, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for row in df.select(key_col).mapInPandas(build, out_schema).collect():
+        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return acc
+
+
+def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes: int):
+    """Vectorized membership test against a broadcast Bloom bitmap
+    (numpy gather + shift per Arrow batch, no per-row Python)."""
+    bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        k = keys.to_numpy(np.int64).view(np.uint64)
+        pos = _bloom_positions(k, n_bits, n_hashes)
+        hit = (bits[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return pd.Series(hit.all(axis=0))
+
+    return might_contain
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Dedup a new ingest batch against an already-accepted history:
+    returns (id, n_batch_dups) for the batch rows whose normalized text
+    is (a) first within the batch — min id wins, the
+    :func:`exact_dedup` contract — and (b) absent from ``history``.
+
+    Two fingerprints per text, both computed map-side so no shuffle
+    ever carries text: md5 (128-bit, collision-safe at corpus scale)
+    for grouping and anti-join equality; xxhash64 for the Bloom probes.
+    Against a history fingerprint table BUCKETED by fp the confirm
+    anti-join is shuffle-free on the history side — and its batch side
+    is only the bloom-positive survivors.
+    """
+    def fps(df: DataFrame, *extra):
+        norm = normalize_text_expr(F.col(text_col))
+        return df.filter(F.col(text_col).isNotNull()).select(
+            *extra, F.md5(norm).alias("__fp"), F.xxhash64(norm).alias("__bk")
+        )
+
+    firsts = (
+        fps(batch, id_col)
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_batch_dups"),
+            F.min("__bk").alias("__bk"),  # same text -> same __bk; min = deterministic
+        )
+    )
+    hist_fp = fps(history)
+    bitmap = bloom_bitmap(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes)
+    maybe = bloom_contains_udf(batch, bitmap, n_bits, n_hashes)
+    flagged = firsts.withColumn("__maybe", maybe(F.col("__bk")))
+    fresh = flagged.filter(~F.col("__maybe"))  # bloom-negative: definitely unseen
+    confirmed = flagged.filter(F.col("__maybe")).join(
+        hist_fp.select("__fp"), "__fp", "left_anti"
+    )
+    return fresh.unionByName(confirmed).select(id_col, "n_batch_dups")

@@ -246,3 +246,30 @@ def repetition_stats(df, text_col: str = "text"):
             "dup_5gram_frac"
         ),
     ).drop("dup_5gram_pos", "tot_5gram_pos")
+
+
+def vocab_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 100):
+    """Corpus vocabulary building: term frequency + document frequency
+    per normalized word, top-k by (tf DESC, word ASC) — the word-count
+    pass a tokenizer-training / corpus-profiling pipeline starts from.
+
+    Scale: the explode fans out ~tokens/doc rows, but partial map-side
+    aggregation collapses them to distinct-words-per-partition before
+    the single hash shuffle on `word`; the distinct-doc count rides the
+    SAME shuffle via Spark's count-distinct Expand (2 rows per input
+    map-side, still partially aggregated). Zipf bounds the reduce side:
+    the hottest word contributes #map-partitions partial rows, not
+    #occurrences. The final top-k is TakeOrderedAndProject —
+    per-partition heaps, no global sort materialization.
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(_norm_words_expr(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("tf"), F.countDistinct(id_col).alias("doc_freq"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(k)
+    )

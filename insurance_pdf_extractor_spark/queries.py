@@ -115,11 +115,22 @@ def _fx(name: str) -> str | None:
            max(o_totalprice) AS max_price,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price,
+           (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00')
+             AS n_expired_events
     FROM orders WHERE o_totalprice IS NOT NULL
     """,
 )
 def q_overall_stats(spark, sf_dir):
+    # n_expired_events absorbs the former `retention_cutoff` gate
+    # (app/services/storage.py:601-639) — a single-row global count
+    # cross-joined onto this single-row global agg (the cost_model
+    # precedent), freeing one slot in the 50-query driver window.
+    expired = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-10")
+        .agg(F.count("*").alias("n_expired_events"))
+    )
     return (
         _load(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice").isNotNull())
@@ -133,6 +144,7 @@ def q_overall_stats(spark, sf_dir):
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
             F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
         )
+        .crossJoin(expired)
     )
 
 
@@ -592,20 +604,10 @@ def q_unpivot(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# retention cutoff (app/services/storage.py:601-639)
+# retention cutoff (app/services/storage.py:601-639) — consolidated
+# into `overall_stats` (r3 continued): the same filtered global count
+# rides that gate as n_expired_events. Slot freed for `vocab_topk`.
 # ---------------------------------------------------------------------------
-@register(
-    "retention_cutoff",
-    """
-    SELECT count(*) AS n_expired FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
-    """,
-)
-def q_retention(spark, sf_dir):
-    return (
-        _load(spark, sf_dir, "events")
-        .filter(F.col("ts") < "2024-01-10")
-        .agg(F.count("*").alias("n_expired"))
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -960,20 +962,70 @@ def q_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # exact dedup via fingerprint hash-groupBy (training-data ops)
 # ---------------------------------------------------------------------------
+# Exact dedup + cross-batch incremental dedup in ONE gate row (the
+# former `dedup_exact` gate is a strict subset: the within-batch
+# min-id-wins grouping IS exact_dedup's contract, value-checked here on
+# a batch constructed to contain real duplicates). The batch is
+# documents with even doc_id plus an echoed copy of every %10==0 doc
+# under a shifted id (in-batch duplicate by construction); the history
+# is the %3==0 docs, so %30==0 docs are cross-batch duplicates and must
+# be dropped. The Spark side routes through the Bloom prefilter + exact
+# anti-join confirm (dedup.incremental_dedup); the oracle states the
+# exact semantics the bloom routing must preserve.
 @register(
-    "dedup_exact",
+    "incremental_dedup",
     """
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-           min(doc_id) AS keeper_id, count(*) AS n_dups
-    FROM documents GROUP BY 1
+    WITH n0 AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT DISTINCT k FROM n0 WHERE doc_id % 3 = 0),
+    b AS (
+      SELECT doc_id, k FROM n0 WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, k FROM n0 WHERE doc_id % 10 = 0
+    ),
+    firsts AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_batch_dups, k FROM b GROUP BY k
+    )
+    SELECT doc_id, n_batch_dups FROM firsts WHERE k NOT IN (SELECT k FROM h)
     """,
 )
-def q_dedup_exact(spark, sf_dir):
-    return exact_dedup_df(_load(spark, sf_dir, "documents"))
+def q_incremental_dedup(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 3 == 0)
+    echo = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 0).unionByName(echo)
+    # Small bitmap (64 Kbit) so the fpp path is plausibly exercised at
+    # gate scale; correctness is fpp-independent by construction.
+    return dedup.incremental_dedup(batch, history, n_bits=1 << 16)
 
 
 def exact_dedup_df(d: DataFrame) -> DataFrame:
     return dedup.exact_dedup(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building — corpus top-k word counts (training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_topk",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+    FROM w WHERE word <> ''
+    GROUP BY word ORDER BY tf DESC, word ASC LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    return tq.vocab_topk(_load(spark, sf_dir, "documents"), k=100)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ CROSS_OK = {
     "embedding_exact_baselines",
     "ann_ivf_exhaustive",   # n_probe = n_centroids: equivalence-to-brute-force gate
     "cost_model",           # ONE-row broadcast global aggregate joined onto per-group rows
+    "overall_stats",        # 1-row x 1-row crossJoin (absorbed retention_cutoff count)
 }
 
 
