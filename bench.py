@@ -37,6 +37,8 @@ HEADLINE = [
     "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
     "dedup_clusters",          # connected components over the near-dup pair graph
     "text_quality",            # tokenization stats + quality scoring over documents
+    "vocab_topk",              # corpus term/doc-frequency top-k word counts
+    "tfidf_top_terms",         # per-doc characteristic terms (tf-idf top-n)
     "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip
     "asof_join",               # point-in-time join via union-tag window merge
     "range_join_bands",        # grid-binned interval join
@@ -166,7 +168,9 @@ def main() -> None:
     # timed runs: single-shot headliners showed up to 20x spikes from
     # hypervisor steal invisible to loadavg (BENCH.md variance notes)
     for name in HEADLINE:
-        fn = registry[name]
+        # search_filters keeps its r1/r2 bench name though its gate
+        # merged into ordered_slices (src='search'); time the builder.
+        fn = registry.get(name) or getattr(Qmod, f"q_{name}")
         _run(fn(spark, sf_dir))
         timings[name] = round(_best_of(lambda: fn(spark, sf_dir)), 3)
 

@@ -8,7 +8,7 @@ SQL exists for each (see queries.py oracles).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -272,4 +272,55 @@ def vocab_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 100)
         .agg(F.count("*").alias("tf"), F.countDistinct(id_col).alias("doc_freq"))
         .orderBy(F.desc("tf"), F.asc("word"))
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+):
+    """Top-n characteristic terms per document by smoothed TF-IDF:
+    score = tf * ln((n_docs + 1) / (doc_freq + 1)).
+
+    Scale: term frequencies partial-aggregate on (doc, word); document
+    frequencies re-aggregate those rows on word (the per-doc grouping
+    already collapsed duplicates, so the second shuffle carries one row
+    per (doc, word), not per occurrence). n_docs joins on as a 1-row
+    broadcast (BroadcastNestedLoopJoin of a single row — the cost_model
+    shape, constant traffic at any corpus size). The per-doc top-n
+    window partitions BY DOCUMENT: frames are bounded by distinct
+    words per doc, never corpus size. Ordering is (score DESC, word
+    ASC); equal (tf, doc_freq) pairs produce bit-identical scores, so
+    the tiebreak is exact.
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(_norm_words_expr(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .agg(F.count("*").alias("n_docs"))
+    )
+    scored = (
+        tf.join(doc_freq, "word")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "word", "tf", "doc_freq", "score", "term_rank")
     )

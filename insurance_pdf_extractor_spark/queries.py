@@ -290,12 +290,17 @@ def q_status_breakdown(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# O1 + O2 — ordered slices, consolidated into ONE gate row (50-query
-# driver window; same precedent as normalize_suite/text_quality): the
-# recent-50 events slice (app/services/storage.py:368-386) and the
-# top-10 most-expensive slice (app/services/storage.py:499-512) union
-# under a `src` tag with an aligned schema — every output value of the
-# two former gates remains value-checked.
+# O1 + O2 + P4 — ordered slices, consolidated into ONE gate row
+# (50-query driver window; same precedent as normalize_suite /
+# text_quality): the recent-50 events slice
+# (app/services/storage.py:368-386), the top-10 most-expensive slice
+# (app/services/storage.py:499-512), and — r3 continued — the dynamic
+# search-filter slice (P4, app/services/storage.py:308-344; formerly
+# the `search_filters` gate) union under a `src` tag with an aligned
+# schema. Every output value of the three former gates remains
+# value-checked (search: key_id=o_orderkey, ts=o_orderdate,
+# label=o_orderpriority, metric=o_totalprice). Slot freed for
+# `tfidf_top_terms`.
 # ---------------------------------------------------------------------------
 @register(
     "ordered_slices",
@@ -307,6 +312,15 @@ def q_status_breakdown(spark, sf_dir):
     SELECT 'top_expensive', o_orderkey, o_custkey,
            CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), o_totalprice
     FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    UNION ALL
+    SELECT 'search', o_orderkey, CAST(NULL AS BIGINT),
+           o_orderdate, o_orderpriority, o_totalprice
+    FROM (SELECT * FROM orders
+          WHERE o_orderstatus = 'F'
+            AND o_orderpriority LIKE '%URGENT%'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100)
     """,
 )
 def q_ordered_slices(spark, sf_dir):
@@ -336,7 +350,23 @@ def q_ordered_slices(spark, sf_dir):
             F.col("o_totalprice").alias("metric"),
         )
     )
-    return recent.unionByName(top)
+    search = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_orderpriority").contains("URGENT"))
+        .filter(F.col("o_orderdate").between("1995-01-01", "1997-12-31"))
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+        .select(
+            F.lit("search").alias("src"),
+            F.col("o_orderkey").alias("key_id"),
+            F.lit(None).cast("long").alias("aux_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("label"),
+            F.col("o_totalprice").alias("metric"),
+        )
+    )
+    return recent.unionByName(top).unionByName(search)
 
 
 # ---------------------------------------------------------------------------
@@ -390,18 +420,12 @@ def q_asof_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # P4 — dynamic search predicates (app/services/storage.py:388-433)
 # ---------------------------------------------------------------------------
-@register(
-    "search_filters",
-    """
-    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority FROM orders
-    WHERE o_orderstatus = 'F'
-      AND o_orderpriority LIKE '%URGENT%'
-      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
-    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
-    """,
-)
+# P4 dynamic search predicates — consolidated into `ordered_slices`
+# (src='search'; r3 continued). The pushdown/pruning plan test moved
+# with it (tests/test_plan_invariants.py). Slot freed for
+# `tfidf_top_terms`.
 def q_search_filters(spark, sf_dir):
+    """Unregistered builder kept for bench.py's P4 headline timing."""
     o = _load(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderstatus") == "F")
@@ -1026,6 +1050,45 @@ def exact_dedup_df(d: DataFrame) -> DataFrame:
 )
 def q_vocab_topk(spark, sf_dir):
     return tq.vocab_topk(_load(spark, sf_dir, "documents"), k=100)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (training-data ops): smoothed
+# tf * ln((N+1)/(df+1)), per-doc top-3 by (score DESC, word ASC).
+# Cross-engine determinism: identical (tf, doc_freq) give bit-identical
+# doubles so the tiebreak is exact; ln() may differ by an ulp between
+# the JVM and DuckDB's libm, absorbed by round(,6) (scores are O(1-10),
+# so 1e-16-relative noise sits ~9 digits below the rounding boundary).
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, count(*) AS doc_freq FROM tf GROUP BY word),
+    nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfq.doc_freq,
+             round(tf.tf * ln((nd.n_docs + 1.0) / (dfq.doc_freq + 1.0)), 6) AS score
+      FROM tf JOIN dfq USING (word) CROSS JOIN nd
+    )
+    SELECT doc_id, word, tf, doc_freq, score, term_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC)
+               AS term_rank
+      FROM scored
+    ) WHERE term_rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return tq.tfidf_top_terms(_load(spark, sf_dir, "documents"), top_n=3)
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,35 @@ def test_vocab_topk_limit_tiebreak(spark):
     out = tq.vocab_topk(docs, k=2).collect()
     # all tf=2: alphabetical tiebreak picks a, b deterministically
     assert [r.word for r in out] == ["a", "b"]
+
+
+def test_tfidf_top_terms_scores_and_ranks(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tq.tfidf_top_terms(docs, top_n=2).collect()
+    got = {(r.doc_id, r.term_rank): (r.word, r.tf, r.doc_freq, r.score) for r in out}
+    n = 3
+
+    def score(tf, df):
+        return round(tf * math.log((n + 1.0) / (df + 1.0)), 6)
+
+    # doc 1: apple tf=2 df=2, banana tf=1 df=3 -> apple first
+    assert got[(1, 1)] == ("apple", 2, 2, score(2, 2))
+    assert got[(1, 2)] == ("banana", 1, 3, score(1, 3))
+    # doc 2: cherry (df=2) outranks banana (df=3, score 0)
+    assert got[(2, 1)] == ("cherry", 1, 2, score(1, 2))
+    # banana appears in every doc: ln(4/4)=0
+    assert got[(2, 2)] == ("banana", 1, 3, 0.0)
+    # doc 3: date (df=1) unique -> top; apple & cherry tie (df=2) ->
+    # alphabetical tiebreak gives apple rank 2
+    assert got[(3, 1)] == ("date", 1, 1, score(1, 1))
+    assert got[(3, 2)] == ("apple", 1, 2, score(1, 2))
+    assert len(out) == 6  # top_n=2 for each of 3 docs

@@ -33,6 +33,7 @@ CROSS_OK = {
     "ann_ivf_exhaustive",   # n_probe = n_centroids: equivalence-to-brute-force gate
     "cost_model",           # ONE-row broadcast global aggregate joined onto per-group rows
     "overall_stats",        # 1-row x 1-row crossJoin (absorbed retention_cutoff count)
+    "tfidf_top_terms",      # 1-row n_docs broadcast onto (doc, word) rows — constant traffic
 }
 
 
@@ -67,8 +68,10 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark, registry):
 
 def test_search_filters_pushdown_and_pruning(spark, registry):
     """P4: dynamic search predicates must reach the parquet scan, and
-    the scan must not read columns the projection drops."""
-    plan = _plan(spark, registry["search_filters"](spark, SF_DIR))
+    the scan must not read columns the projection drops. The P4 gate
+    merged into ordered_slices (src='search'); the pushdown contract
+    holds on the union plan's orders scans."""
+    plan = _plan(spark, registry["ordered_slices"](spark, SF_DIR))
     assert "PushedFilters: [" in plan
     # at least one real comparison pushed, not only IsNotNull
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
