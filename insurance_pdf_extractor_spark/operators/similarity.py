@@ -359,3 +359,43 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def probe_weights(dim: int, seed: int = 2654435761, bias: float = 0.1):
+    """Deterministic stand-in weights for the linear quality probe
+    (Knuth multiplicative-hash residues mapped to [-0.5, 0.5)). A real
+    deployment loads TRAINED classifier weights (fasttext-style quality
+    model distilled to a linear probe over the embedding); the scoring
+    plan is identical — only this vector changes."""
+    w = [(((j + 1) * seed) % 1000) / 1000.0 - 0.5 for j in range(dim)]
+    return w, bias
+
+
+def linear_probe_udf(weights, bias: float = 0.0):
+    """Model-based quality filtering: sigmoid(w·x + b) per embedding,
+    one vectorized numpy pass per Arrow batch with the weight vector
+    broadcast in the UDF closure (64 doubles — no shuffle, no join; the
+    classifier rides the scan). Null/ragged/wrong-dim embeddings yield
+    real SQL nulls (see _with_nulls). Left-fold dot keeps bit parity
+    with the oracle's sequential list_dot_product loop."""
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    @F.pandas_udf(T.DoubleType())
+    def probe(col: pd.Series) -> pd.Series:
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        arrs, valid = _vec_rows(col)
+        for i in range(n):
+            if valid[i] and arrs[i].size != w.size:
+                valid[i] = False
+        out = np.full(n, np.nan)
+        idxs = [i for i in range(n) if valid[i]]
+        if idxs:
+            M = np.stack([arrs[i] for i in idxs])
+            z = _leftfold_dot(M, np.broadcast_to(w, M.shape)) + b
+            out[idxs] = 1.0 / (1.0 + np.exp(-z))
+        return _with_nulls(out, valid)
+
+    return probe

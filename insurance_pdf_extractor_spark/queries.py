@@ -1286,6 +1286,13 @@ def q_hash_sample_split(spark, sf_dir):
 # ann_bucketed_topk / embedding_near_dup_lsh.
 @register(
     "embedding_exact_baselines",
+    # + src='quality_probe' (r3 continued): model-based quality
+    # filtering — sigmoid(w·emb + b) per vector with deterministic
+    # stand-in weights (similarity.probe_weights; a trained classifier
+    # vector drops in unchanged). The metric column is named `score`
+    # since the probe branch isn't a cosine. Both engines evaluate the
+    # SAME weight literals; round(,6) absorbs exp()'s last-ulp libm
+    # differences.
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
     scored AS (
@@ -1293,12 +1300,12 @@ def q_hash_sample_split(spark, sf_dir):
              round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
                / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6)
-               AS cosine
+               AS score
       FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
     ),
     e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT 'topk' AS src, query_id AS id_a, cand_id AS id_b, cosine, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+    SELECT 'topk' AS src, query_id AS id_a, cand_id AS id_b, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 10
     UNION ALL
@@ -1309,7 +1316,14 @@ def q_hash_sample_split(spark, sf_dir):
     FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    """,
+    UNION ALL
+    SELECT 'quality_probe', vec_id, CAST(NULL AS BIGINT),
+           round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]),
+             {{W_SQL}}) + {{B_SQL}}))), 6),
+           CAST(NULL AS BIGINT)
+    FROM embeddings WHERE embedding IS NOT NULL
+    """.replace("{{W_SQL}}", "[" + ", ".join(repr(x) for x in similarity.probe_weights(64)[0]) + "]")
+    .replace("{{B_SQL}}", repr(similarity.probe_weights(64)[1])),
 )
 def q_embedding_exact_baselines(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
@@ -1320,7 +1334,7 @@ def q_embedding_exact_baselines(spark, sf_dir):
         F.lit("topk").alias("src"),
         F.col("query_id").alias("id_a"),
         F.col("cand_id").alias("id_b"),
-        "cosine",
+        F.col("cosine").alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -1334,11 +1348,20 @@ def q_embedding_exact_baselines(spark, sf_dir):
             F.lit("near_dup").alias("src"),
             "id_a",
             "id_b",
-            F.round("cosine", 6).alias("cosine"),
+            F.round("cosine", 6).alias("score"),
             F.lit(None).cast("long").alias("rank"),
         )
     )
-    return topk.unionByName(near)
+    w, bias = similarity.probe_weights(64)
+    probe = similarity.linear_probe_udf(w, bias)
+    qual = emb.filter(F.col("embedding").isNotNull()).select(
+        F.lit("quality_probe").alias("src"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.round(probe(F.col("embedding")), 6).alias("score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    return topk.unionByName(near).unionByName(qual)
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,29 @@ def test_tfidf_top_terms_scores_and_ranks(spark):
     assert got[(3, 1)] == ("date", 1, 1, score(1, 1))
     assert got[(3, 2)] == ("apple", 1, 2, score(1, 2))
     assert len(out) == 6  # top_n=2 for each of 3 docs
+
+
+def test_linear_probe_scores_match_pure_python(spark):
+    import math
+
+    from insurance_pdf_extractor_spark.operators import similarity
+
+    w, b = similarity.probe_weights(4)
+    rows = [
+        (1, [1.0, 0.0, -1.0, 2.0]),
+        (2, [0.5, 0.5, 0.5, 0.5]),
+        (3, None),              # null embedding -> null score
+        (4, [1.0, 2.0]),        # wrong dim -> null score
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = similarity.linear_probe_udf(w, b)
+    got = {r.vec_id: r.s for r in emb.select("vec_id", probe("embedding").alias("s")).collect()}
+
+    def expected(v):
+        z = sum(x * wi for x, wi in zip(v, w)) + b
+        return 1.0 / (1.0 + math.exp(-z))
+
+    assert got[3] is None and got[4] is None
+    assert abs(got[1] - expected(rows[0][1])) < 1e-12
+    assert abs(got[2] - expected(rows[1][1])) < 1e-12
+    assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0
