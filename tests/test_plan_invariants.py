@@ -163,3 +163,35 @@ def test_analytics_stay_in_whole_stage_codegen(spark, registry):
             assert "partial_" in plan, f"{name}: no map-side partial aggregation"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_vocab_topk_plan_shape(spark, registry):
+    """Vocabulary build must be ONE word shuffle with map-side partial
+    aggregation and a TakeOrderedAndProject top-k — a global Sort or a
+    missing partial_count would be the scale regression."""
+    plan = _plan(spark, registry["vocab_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the word exchange
+    # the doc-frequency count-distinct must ride pre-aggregated (word, doc_id)
+    assert "count(distinct doc_id" in plan
+
+
+def test_tfidf_plan_shape(spark, registry):
+    """TF-IDF top-n must run the per-doc window with WindowGroupLimit
+    (Spark's top-k pushdown: per-partition group limits BEFORE the doc
+    shuffle) and broadcast the 1-row n_docs — a corpus-global window or
+    a shuffled cartesian would not survive scale."""
+    plan = _plan(spark, registry["tfidf_top_terms"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "windowspecdefinition(doc_id" in plan  # partitioned BY DOCUMENT
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_plan_shape(spark, registry):
+    """The bloom membership test must be Arrow-vectorized (never
+    BatchEvalPython) and the exact confirm must be a LeftAnti join —
+    those two nodes are the operator's scale contract."""
+    plan = _plan(spark, registry["incremental_dedup"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
