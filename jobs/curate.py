@@ -1,0 +1,94 @@
+"""spark-submit entry point for the corpus-curation pipeline
+(plans/curation.py): quality gate → PII redaction → exact dedup →
+near-dup clustering → split/sample → packing layout.
+
+Cluster usage (north rule: multi-executor via --py-files):
+
+    cd /root/repo && zip -qr /tmp/engine.zip insurance_pdf_extractor_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/curate.py --input <docs_parquet> --output <out_dir> \
+        [--history <accepted_docs_parquet>] [--sample 0.5]
+
+With ``--history`` the quality-gated batch is first deduped AGAINST the
+already-accepted corpus (dedup.incremental_dedup: bloom prefilter +
+exact anti-join confirm) before the in-batch stages run — the
+continuously-ingested shape. Outputs: ``<out>/survivors`` (id, text,
+n_tokens, split), ``<out>/packing`` (chunk layout), and a JSON funnel
+line on stdout.
+
+Local smoke:
+
+    spark-submit --master local[8] jobs/curate.py \
+        --input /root/testdata/sf0.001/documents.parquet --output /tmp/cur
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from jobs.extract import build_cluster_session
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet dir/table")
+    ap.add_argument("--output", required=True, help="output root (survivors/packing)")
+    ap.add_argument("--history", default=None, help="already-accepted corpus to dedup against")
+    ap.add_argument("--min-tokens", type=int, default=8)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--min-jaccard", type=float, default=0.2)
+    ap.add_argument("--sample", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=512)
+    ap.add_argument("--skip-funnel", action="store_true", help="skip per-stage counts (production)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import SparkSession
+
+    from insurance_pdf_extractor_spark.operators import dedup
+    from insurance_pdf_extractor_spark.plans.curation import curate_corpus, stage_counts
+
+    # getOrCreate may hand back an embedding caller's session (tests,
+    # notebooks) — only stop what this job itself created.
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_cluster_session("curate")
+    docs = spark.read.parquet(args.input)
+
+    if args.history:
+        history = spark.read.parquet(args.history)
+        fresh = dedup.incremental_dedup(docs, history)
+        docs = docs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+
+    curated = curate_corpus(
+        docs,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_quality=args.min_quality,
+        min_jaccard=args.min_jaccard,
+        sample_fraction=args.sample,
+        pack_budget=args.pack_budget,
+    )
+    curated["survivors"].write.mode("overwrite").parquet(f"{args.output}/survivors")
+    curated["packing"].write.mode("overwrite").parquet(f"{args.output}/packing")
+
+    out: dict = {"output": args.output}
+    if not args.skip_funnel:
+        out["funnel"] = stage_counts(curated)
+    out["survivors"] = spark.read.parquet(f"{args.output}/survivors").count()
+    out["chunks"] = (
+        spark.read.parquet(f"{args.output}/packing").agg(F.max("chunk_id")).first()[0]
+    )
+    print(json.dumps(out))
+    if not preexisting:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,37 @@ def test_split_labels_partition(spark, curated):
     splits = curated["survivors"].groupBy("split").count().collect()
     assert {r["split"] for r in splits} <= {"train", "val", "test"}
     assert sum(r["count"] for r in splits) == curated["survivors"].count()
+
+
+def test_curate_job_cli_end_to_end(spark, tmp_path):
+    """jobs/curate.py --input/--output/--history: the spark-submit
+    packaging surface for the curation pipeline. History = the same
+    corpus must yield zero survivors (every batch doc is a cross-batch
+    duplicate through incremental_dedup)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs import curate
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "fresh")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curate.main(["--input", src, "--output", out1, "--skip-funnel"])
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["survivors"] > 0 and res["chunks"] is not None
+    assert spark.read.parquet(f"{out1}/survivors").count() == res["survivors"]
+
+    out2 = str(tmp_path / "dup")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        curate.main(
+            ["--input", src, "--history", src, "--output", out2, "--skip-funnel"]
+        )
+    res2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert res2["survivors"] == 0
