@@ -146,19 +146,18 @@ def token_hashes_expr(col: Column) -> Column:
     return F.transform(words_expr(col), lambda t: F.pmod(F.xxhash64(t), F.lit(_MINHASH_P)))
 
 
-def minhash_lsh_pairs(
+def band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    min_jaccard: float = 0.7,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min.
-    """
+    """SLIM (id, band, band_key) LSH band rows — the unit both the
+    within-corpus and the cross-batch near-dup paths bucket on. At
+    corpus scale the band shuffle dominates; carrying wordsets here
+    would multiply the shuffle payload by bands× the vocabulary."""
     rows_per_band = n_hashes // bands
     # two-step projection: token hashes once (JVM pass), then the fused
     # k-gram+signature kernel over the shared hash column
@@ -168,10 +167,7 @@ def minhash_lsh_pairs(
     sig = hashed.select(
         "id", minhash_signature_from_token_hashes(F.col("h"), shingle_k, n_hashes).alias("sig")
     )
-    # band rows are SLIM — (id, band, band_key) only. At corpus scale the
-    # band shuffle dominates; carrying wordsets here would multiply the
-    # shuffle payload by bands× the document vocabulary.
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -186,6 +182,35 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "bk.band", "bk.band_key")
 
+
+def _wordsets(df: DataFrame, text_col: str, id_col: str, out_id: str, out_ws: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id), F.array_distinct(words_expr(F.col(text_col))).alias(out_ws)
+    )
+
+
+def _verified_jaccard(cand: DataFrame, min_jaccard: float) -> DataFrame:
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= min.
+    """
+    banded = band_rows(df, text_col, id_col, n_hashes, bands, shingle_k)
+
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -199,20 +224,55 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verification joins wordsets back for CANDIDATES only
-    words = df.select(
-        F.col(id_col).alias("wid"), F.array_distinct(words_expr(F.col(text_col))).alias("ws")
+    pairs = cand.join(_wordsets(df, text_col, id_col, "id_a", "ws_a"), "id_a").join(
+        _wordsets(df, text_col, id_col, "id_b", "ws_b"), "id_b"
     )
-    pairs = (
-        cand.join(words.select(F.col("wid").alias("id_a"), F.col("ws").alias("ws_a")), "id_a")
-        .join(words.select(F.col("wid").alias("id_b"), F.col("ws").alias("ws_b")), "id_b")
+    return _verified_jaccard(pairs, min_jaccard).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size(F.array_union("ws_a", "ws_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new ingest batch and the
+    already-accepted history — the near-dup half of continuous
+    ingestion (the exact half is :func:`incremental_dedup`). Returns
+    (batch_id, hist_id, jaccard), jaccard >= min.
+
+    Scale shape: history band rows are a pure function of history text,
+    so at 10^12 docs they are computed ONCE per corpus and stored
+    BUCKETED by (band, band_key); the candidate join then shuffles only
+    the batch's slim (id, band, band_key) rows against the bucketed
+    table. Verification joins wordsets back for candidates only, each
+    side keyed by its own id. Unlike the within-corpus path there is no
+    id_a < id_b constraint — the sides are distinct tables (a doc
+    present in both yields its own (id, id) pair, which is exactly the
+    "already accepted" signal).
+    """
+    bb = band_rows(batch, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
+        "id", "batch_id"
+    )
+    hb = band_rows(history, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
+        "id", "hist_id"
+    )
+    cand = (
+        bb.join(hb, ["band", "band_key"])
+        .select("batch_id", "hist_id")
+        .dropDuplicates(["batch_id", "hist_id"])
+    )
+    pairs = cand.join(_wordsets(batch, text_col, id_col, "batch_id", "ws_a"), "batch_id").join(
+        _wordsets(history, text_col, id_col, "hist_id", "ws_b"), "hist_id"
+    )
+    return _verified_jaccard(pairs, min_jaccard).select(
+        "batch_id", "hist_id", F.round("jaccard", 6).alias("jaccard")
     )
 
 

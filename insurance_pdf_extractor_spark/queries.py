@@ -2143,8 +2143,28 @@ def q_media_frame_sample(spark, sf_dir):
 def q_minhash_pairs(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     # documents are all-distinct random text; lower threshold surfaces
-    # the near-dup candidates the banding produces
-    return dedup.minhash_lsh_pairs(d, min_jaccard=0.2)
+    # the near-dup candidates the banding produces.
+    # src='within': the one-table pair graph. src='incremental' (r3
+    # continued): cross-batch pairs — batch (doc_id%2==0) probed
+    # against history (doc_id%3==0) band keys
+    # (dedup.incremental_near_dup_pairs); %6==0 docs sit in both sides,
+    # planting guaranteed jaccard-1.0 (id, id) pairs. Both halves
+    # value-match an independent pure-Python banding oracle
+    # (tools/make_fixtures.py).
+    within = dedup.minhash_lsh_pairs(d, min_jaccard=0.2).select(
+        F.lit("within").alias("src"), "id_a", "id_b", "jaccard"
+    )
+    incr = dedup.incremental_near_dup_pairs(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        min_jaccard=0.2,
+    ).select(
+        F.lit("incremental").alias("src"),
+        F.col("batch_id").alias("id_a"),
+        F.col("hist_id").alias("id_b"),
+        "jaccard",
+    )
+    return within.unionByName(incr)
 
 
 # Connected components over the SAME minhash pair graph: cluster id =

@@ -221,3 +221,27 @@ def test_linear_probe_scores_match_pure_python(spark):
     assert abs(got[1] - expected(rows[0][1])) < 1e-12
     assert abs(got[2] - expected(rows[1][1])) < 1e-12
     assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0
+
+
+def test_incremental_near_dup_pairs_planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain stays mainly on the plain for days"
+    )
+    history = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated text about spark shuffles and arrow batches here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (200, base),                           # exact copy of hist 100
+            (201, base.replace("dog", "cat")),     # near dup of hist 100
+            (202, "nothing in common with either history document at all whatsoever truly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dup_pairs(batch, history, min_jaccard=0.5)
+    got = {(r.batch_id, r.hist_id): r.jaccard for r in out.collect()}
+    assert got[(200, 100)] == 1.0
+    assert 0.5 <= got[(201, 100)] < 1.0
+    assert all(b != 202 and h != 101 for b, h in got)

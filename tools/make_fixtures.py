@@ -305,13 +305,56 @@ def minhash_pair_list(docs, n_hashes=64, bands=16, k=3, min_jaccard=0.2) -> list
     return out
 
 
+def incremental_minhash_pair_list(
+    history, batch, n_hashes=64, bands=16, k=3, min_jaccard=0.2
+) -> list[tuple[int, int, float]]:
+    """Cross-batch banding: bucket HISTORY band keys, probe with the
+    batch's keys, verify exact Jaccard — the independent oracle for
+    dedup.incremental_near_dup_pairs. No id ordering constraint: the
+    sides are distinct tables (a doc present in both yields (id, id))."""
+    rpb = n_hashes // bands
+    hist_buckets: dict[tuple[int, int], list[int]] = {}
+    for d, t in history:
+        sig = minhash_sig(t, k, n_hashes)
+        for b in range(bands):
+            key = xxh64_signed(",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb]))
+            hist_buckets.setdefault((b, key), []).append(d)
+    wsets_h = {d: set(words(t)) for d, t in history}
+    wsets_b = {d: set(words(t)) for d, t in batch}
+    cands: set[tuple[int, int]] = set()
+    for d, t in batch:
+        sig = minhash_sig(t, k, n_hashes)
+        for b in range(bands):
+            key = xxh64_signed(",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb]))
+            for h in hist_buckets.get((b, key), ()):
+                cands.add((d, h))
+    out = []
+    for a, h in sorted(cands):
+        inter = len(wsets_b[a] & wsets_h[h])
+        union = len(wsets_b[a] | wsets_h[h])
+        jac = inter / union if union > 0 else 0.0
+        if jac >= min_jaccard:
+            out.append((a, h, spark_round(jac, 6)))
+    return out
+
+
 def fx_minhash_pairs(docs, **kw) -> pa.Table:
-    pairs = minhash_pair_list(docs, **kw)
+    """src-tagged union: 'within' = the one-table pair graph;
+    'incremental' = batch (doc_id%2==0) vs history (doc_id%3==0) pairs
+    (%6==0 docs sit in both -> guaranteed jaccard-1.0 self pairs)."""
+    within = minhash_pair_list(docs, **kw)
+    history = [(d, t) for d, t in docs if d % 3 == 0]
+    batch = [(d, t) for d, t in docs if d % 2 == 0]
+    incr = incremental_minhash_pair_list(history, batch, **kw)
+    rows = [("within", a, b, j) for a, b, j in within] + [
+        ("incremental", a, h, j) for a, h, j in incr
+    ]
     return pa.table(
         {
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
-            "jaccard": pa.array([p[2] for p in pairs], pa.float64()),
+            "src": pa.array([r[0] for r in rows], pa.string()),
+            "id_a": pa.array([r[1] for r in rows], pa.int64()),
+            "id_b": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
 
