@@ -34,7 +34,6 @@ HEADLINE = [
     "trend_window",            # A7: daily agg + 7-day moving-average window
     "search_filters",          # P4+O1: pushed-down predicates + top-k
     "incremental_dedup",       # bloom-prefiltered cross-batch exact dedup
-    "minhash_lsh_pairs",       # MinHash+LSH near-dup candidate pairs
     "dedup_clusters",          # connected components over the near-dup pair graph
     "text_quality",            # tokenization stats + quality scoring over documents
     "vocab_topk",              # corpus term/doc-frequency top-k word counts
@@ -52,6 +51,26 @@ HEADLINE = [
 # near-dup half is the labeled all-pairs ORACLE BASELINE (quadratic by
 # construction, ~87 s at sf0.1); benching it would measure the thing
 # the scale paths exist to avoid.
+
+
+def _dedup_headliners(spark, sf_dir):
+    """minhash_lsh_pairs keeps its r1/r2 name by timing the pure
+    within-corpus operator (the gate is now a src-tagged union with the
+    cross-batch half); incremental_near_dup times the cross-batch path
+    alone."""
+    from pyspark.sql import functions as F2
+
+    from insurance_pdf_extractor_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return {
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(d, min_jaccard=0.2),
+        "incremental_near_dup": lambda: dedup.incremental_near_dup_pairs(
+            d.filter(F2.col("doc_id") % 2 == 0),
+            d.filter(F2.col("doc_id") % 3 == 0),
+            min_jaccard=0.2,
+        ),
+    }
 
 
 def _ann_headliners(spark, sf_dir):
@@ -174,9 +193,10 @@ def main() -> None:
         _run(fn(spark, sf_dir))
         timings[name] = round(_best_of(lambda: fn(spark, sf_dir)), 3)
 
-    for name, mk in _ann_headliners(spark, sf_dir).items():
-        _run(mk())
-        timings[name] = round(_best_of(mk), 3)
+    for helper in (_dedup_headliners, _ann_headliners):
+        for name, mk in helper(spark, sf_dir).items():
+            _run(mk())
+            timings[name] = round(_best_of(mk), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
