@@ -124,3 +124,28 @@ def streaming_sessions(
             "total_value",
         )
     )
+
+
+def streaming_ingest_dedup(stream_df: DataFrame, history: DataFrame) -> DataFrame:
+    """Stream-static anti-join: drop streamed documents whose
+    normalized-text fingerprint already exists in the STATIC
+    accepted-history table. Structured Streaming joins each micro-batch
+    against the static side with NO streaming state — the history is
+    (re)read per micro-batch, so at 10^12 accepted docs the static side
+    is the bucketed fingerprint table (shuffle-free probe), not raw
+    text. Compose with :func:`streaming_exact_dedup` downstream to also
+    suppress duplicates WITHIN and ACROSS incoming micro-batches:
+    this operator handles "seen before the stream started", the
+    stateful one handles "seen earlier in the stream"."""
+    from ..operators.dedup import fingerprint_expr
+
+    hist_fp = (
+        history.filter(F.col("text").isNotNull())
+        .select(fingerprint_expr(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    return (
+        stream_df.filter(F.col("text").isNotNull())
+        .withColumn("fp", fingerprint_expr(F.col("text")))
+        .join(hist_fp, "fp", "left_anti")
+    )

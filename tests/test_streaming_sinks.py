@@ -145,3 +145,38 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert "c1" not in got  # cross-batch duplicate suppressed by state
     # exactly one keeper for the hello-world fingerprint
     assert len(got & {"a1", "a2"}) == 1
+
+
+def test_streaming_ingest_dedup_vs_static_history(spark, tmp_path):
+    """Stream-static anti-join: streamed docs whose normalized text is
+    already in the static history never reach the sink; unseen docs
+    pass. Runs a REAL availableNow stream."""
+    from insurance_pdf_extractor_spark.streaming.stream import streaming_ingest_dedup
+
+    schema = "doc_id string, text string"
+    history = spark.createDataFrame(
+        [("h1", "hello world"), ("h2", "accepted doc body")], schema
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [
+            ("s1", "HELLO   world"),   # dup of h1 after normalization
+            ("s2", "genuinely new"),
+            ("s3", None),              # null text ignored
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    out = streaming_ingest_dedup(stream, history)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingest_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM ingest_dedup").collect()
+    assert {r.doc_id for r in rows} == {"s2"}
