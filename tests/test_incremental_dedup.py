@@ -245,3 +245,47 @@ def test_incremental_near_dup_pairs_planted(spark):
     assert got[(200, 100)] == 1.0
     assert 0.5 <= got[(201, 100)] < 1.0
     assert all(b != 202 and h != 101 for b, h in got)
+
+
+# -- property: bloom-routed result == pure-Python exact semantics ----------
+import re as _re
+import string as _string
+
+from hypothesis import given, settings, strategies as _st
+
+# ASCII-only alphabet: Java's \s and trim() are ASCII-bounded while
+# Python's re is unicode-aware — the operator contract is defined by
+# the Spark expression, so the generator stays in the shared subset.
+_TXT = _st.text(alphabet=_string.ascii_lowercase + "AB \t", max_size=12)
+
+
+def _pynorm(t):
+    return _re.sub(r"[ \t]+", " ", t).strip().lower()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    hist=_st.lists(_TXT, max_size=8),
+    batch=_st.lists(_TXT, min_size=1, max_size=10),
+    tiny_bloom=_st.booleans(),
+)
+def test_incremental_dedup_matches_python_reference(spark, hist, batch, tiny_bloom):
+    hdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist)] or [(0, None)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    n_bits = 64 if tiny_bloom else 1 << 16
+    got = {
+        (r.doc_id, r.n_batch_dups)
+        for r in dedup.incremental_dedup(bdf, hdf, n_bits=n_bits).collect()
+    }
+    hist_keys = {_pynorm(t) for t in hist}
+    firsts: dict[str, list[int]] = {}
+    for i, t in enumerate(batch):
+        firsts.setdefault(_pynorm(t), []).append(i)
+    want = {
+        (ids[0], len(ids)) for key, ids in firsts.items() if key not in hist_keys
+    }
+    assert got == want
