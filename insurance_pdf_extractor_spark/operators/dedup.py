@@ -794,7 +794,13 @@ def bloom_bitmap(df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: i
 
 def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes: int):
     """Vectorized membership test against a broadcast Bloom bitmap
-    (numpy gather + shift per Arrow batch, no per-row Python)."""
+    (numpy gather + shift per Arrow batch, no per-row Python).
+
+    The Spark broadcast stays pinned for the session unless released:
+    the handle is exposed as ``might_contain.broadcast`` so long-lived
+    callers (streaming micro-batch loops, benchmark harnesses) can
+    ``.broadcast.destroy()`` after the consuming action completes —
+    one-shot batch jobs can ignore it."""
     bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     @F.pandas_udf("boolean")
@@ -805,6 +811,7 @@ def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes:
         hit = (bits[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
         return pd.Series(hit.all(axis=0))
 
+    might_contain.broadcast = bc
     return might_contain
 
 
@@ -846,9 +853,51 @@ def incremental_dedup(
     hist_fp = fps(history)
     bitmap = bloom_bitmap(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes)
     maybe = bloom_contains_udf(batch, bitmap, n_bits, n_hashes)
-    flagged = firsts.withColumn("__maybe", maybe(F.col("__bk")))
+    # Materialize the flagged frame ONCE: both union branches consume
+    # it, and exchange reuse would cache only the shuffle — the groupBy
+    # finalization + the Arrow bloom probe would otherwise run twice
+    # per action (the dedup_clusters localCheckpoint precedent; the
+    # frame is slim: fp, id, count, bk, flag).
+    flagged = firsts.withColumn("__maybe", maybe(F.col("__bk"))).localCheckpoint(eager=False)
     fresh = flagged.filter(~F.col("__maybe"))  # bloom-negative: definitely unseen
     confirmed = flagged.filter(F.col("__maybe")).join(
         hist_fp.select("__fp"), "__fp", "left_anti"
     )
     return fresh.unionByName(confirmed).select(id_col, "n_batch_dups")
+
+
+def history_filter(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Drop batch rows whose normalized text already exists in
+    ``history`` — ALL other rows pass through with their full schema
+    (in-batch duplicates intact). This is the pre-filter an ingest
+    pipeline wants BEFORE its own quality/dedup stages: unlike
+    :func:`incremental_dedup` it does not pick an in-batch
+    representative, so downstream stages choose keepers AFTER quality
+    filtering. Same bloom routing: bloom-negative rows skip the
+    anti-join; positives are exact-confirmed on the md5 fingerprint.
+    Rows with null text are dropped (no fingerprint)."""
+    norm = normalize_text_expr(F.col(text_col))
+    hist_fp = history.filter(F.col(text_col).isNotNull()).select(
+        F.md5(normalize_text_expr(F.col(text_col))).alias("__fp"),
+        F.xxhash64(normalize_text_expr(F.col(text_col))).alias("__bk"),
+    )
+    bitmap = bloom_bitmap(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes)
+    maybe = bloom_contains_udf(batch, bitmap, n_bits, n_hashes)
+    tagged = (
+        batch.filter(F.col(text_col).isNotNull())
+        .withColumn("__fp", F.md5(norm))
+        .withColumn("__maybe", maybe(F.xxhash64(norm)))
+        .localCheckpoint(eager=False)
+    )
+    fresh = tagged.filter(~F.col("__maybe"))
+    confirmed = tagged.filter(F.col("__maybe")).join(
+        hist_fp.select("__fp"), "__fp", "left_anti"
+    )
+    return fresh.unionByName(confirmed).drop("__fp", "__maybe")

@@ -1027,10 +1027,6 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(batch, history, n_bits=1 << 16)
 
 
-def exact_dedup_df(d: DataFrame) -> DataFrame:
-    return dedup.exact_dedup(d, "text", "doc_id")
-
-
 # ---------------------------------------------------------------------------
 # vocabulary building — corpus top-k word counts (training-data ops)
 # ---------------------------------------------------------------------------

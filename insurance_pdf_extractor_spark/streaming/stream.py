@@ -148,4 +148,5 @@ def streaming_ingest_dedup(stream_df: DataFrame, history: DataFrame) -> DataFram
         stream_df.filter(F.col("text").isNotNull())
         .withColumn("fp", fingerprint_expr(F.col("text")))
         .join(hist_fp, "fp", "left_anti")
+        .drop("fp")  # internal join key — keep the sink schema the caller's
     )

@@ -62,9 +62,14 @@ def main(argv: list[str] | None = None) -> None:
     docs = spark.read.parquet(args.input)
 
     if args.history:
+        # history_filter drops only CROSS-BATCH duplicates and keeps
+        # every other row's full schema — in-batch duplicate keepers
+        # are chosen by curate_corpus's own dedup stages AFTER the
+        # quality gate (incremental_dedup would pick a min-id
+        # representative pre-quality, which can drop a text whose
+        # better-quality duplicate would have survived).
         history = spark.read.parquet(args.history)
-        fresh = dedup.incremental_dedup(docs, history)
-        docs = docs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        docs = dedup.history_filter(docs, history)
 
     curated = curate_corpus(
         docs,
@@ -82,9 +87,13 @@ def main(argv: list[str] | None = None) -> None:
     if not args.skip_funnel:
         out["funnel"] = stage_counts(curated)
     out["survivors"] = spark.read.parquet(f"{args.output}/survivors").count()
-    out["chunks"] = (
+    # chunk ids are 0-based (packing.py: start_offset div budget), so
+    # the COUNT is max+1 — counting distinct ids also holds when the
+    # layout has no rows at all (None stays None).
+    max_chunk = (
         spark.read.parquet(f"{args.output}/packing").agg(F.max("chunk_id")).first()[0]
     )
+    out["chunks"] = None if max_chunk is None else int(max_chunk) + 1
     print(json.dumps(out))
     if not preexisting:
         spark.stop()

@@ -289,3 +289,28 @@ def test_incremental_dedup_matches_python_reference(spark, hist, batch, tiny_blo
         (ids[0], len(ids)) for key, ids in firsts.items() if key not in hist_keys
     }
     assert got == want
+
+
+def test_history_filter_keeps_in_batch_dups_and_schema(spark, corpus):
+    history = corpus.filter(F.col("doc_id") < 10)  # texts 0..9
+    # batch: texts 0..9 twice (20..39) → ALL are history dups; plus two
+    # fresh rows sharing one new text → both must pass (no in-batch
+    # representative selection here).
+    fresh = spark.createDataFrame(
+        [(500, "a brand new body"), (501, "A   brand new body")],
+        "doc_id long, text string",
+    )
+    batch = corpus.filter(F.col("doc_id").between(20, 39)).unionByName(fresh)
+    out = dedup.history_filter(batch, history, n_bits=1 << 8)
+    assert set(out.columns) == {"doc_id", "text"}  # full caller schema, no temp cols
+    assert {r.doc_id for r in out.collect()} == {500, 501}
+
+
+def test_bloom_contains_udf_exposes_broadcast_handle(spark):
+    keys = spark.range(0, 10).select(F.xxhash64("id").alias("k"))
+    bm = dedup.bloom_bitmap(keys, "k", n_bits=1 << 8, n_hashes=3)
+    fn = dedup.bloom_contains_udf(keys, bm, 1 << 8, 3)
+    assert hasattr(fn, "broadcast")
+    n = keys.withColumn("hit", fn(F.col("k"))).filter("hit").count()
+    assert n == 10
+    fn.broadcast.destroy()  # the documented cleanup path works
