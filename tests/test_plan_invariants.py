@@ -188,10 +188,24 @@ def test_tfidf_plan_shape(spark, registry):
 
 
 def test_incremental_dedup_plan_shape(spark, registry):
-    """The bloom membership test must be Arrow-vectorized (never
-    BatchEvalPython) and the exact confirm must be a LeftAnti join —
-    those two nodes are the operator's scale contract."""
+    """The exact confirm must be a LeftAnti join and the flagged frame
+    must sit behind a checkpoint boundary (materialized ONCE — without
+    it both union branches re-run the groupBy finalization and the
+    bloom probe per action). The probe's Arrow-ness is asserted on the
+    pre-checkpoint fragment, which the checkpointed plan hides."""
     plan = _plan(spark, registry["incremental_dedup"](spark, SF_DIR))
-    assert "ArrowEvalPython" in plan
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint boundary
+
+    from pyspark.sql import functions as F
+
+    from insurance_pdf_extractor_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keys = d.select(F.xxhash64("text").alias("k"))
+    bm = dedup.bloom_bitmap(keys, "k", n_bits=1 << 10, n_hashes=3)
+    probe = dedup.bloom_contains_udf(keys, bm, 1 << 10, 3)
+    probe_plan = _plan(spark, keys.withColumn("hit", probe(F.col("k"))))
+    assert "ArrowEvalPython" in probe_plan
+    assert "BatchEvalPython" not in probe_plan
