@@ -73,13 +73,17 @@ def measured_run(cores: int) -> None:
         "overwrite"
     ).save()
 
-    # best-of-2: single-machine wall times vary ~30% run-to-run (page
-    # cache, GC, OS jitter); min is the stable estimator of capacity.
-    # The DataFrame is constructed once — plan construction is serial
-    # driver work a long-lived cluster job pays once.
+    # best-of-N (SCALING_BEST_OF, default 2): single-machine wall times
+    # vary wildly run-to-run — identical code measured 15.9k-36.3k
+    # docs/s at 16 cores within one hour on 2026-08-18 (hypervisor
+    # tenancy; guest loadavg and /proc/stat steal both read ~0, so the
+    # contention is invisible from inside). min is the capacity
+    # estimator; raise BEST_OF when the box is noisy. The DataFrame is
+    # constructed once — plan construction is serial driver work a
+    # long-lived cluster job pays once.
     job = extract_results(render_documents_raw(docs))
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SCALING_BEST_OF", "2"))):
         t0 = time.perf_counter()
         job.write.format("noop").mode("overwrite").save()
         wall = min(wall, time.perf_counter() - t0)
