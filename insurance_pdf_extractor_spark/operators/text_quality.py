@@ -324,3 +324,59 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_n)
         .select(id_col, "word", "tf", "doc_freq", "score", "term_rank")
     )
+
+
+def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style language-model quality signal without an external
+    model: score each document by its mean bigram log-probability under
+    the corpus's own Laplace-smoothed bigram model —
+    ``mean ln((c(w1,w2)+1) / (c(w1·)+V))`` over the doc's bigram
+    occurrences, pseudo-perplexity ``exp(-mean)``. Low-probability
+    (gibberish / boilerplate-fragment) docs surface with high
+    perplexity, the signal CCNet thresholds per language bucket.
+
+    Returns (id, n_bigrams, mean_logp, ppl) for docs with >=1 bigram.
+
+    Scale: the count tables are Zipf-bounded aggregates ((w1,w2) and
+    prefix-count w1· — the latter derived FROM the bigram rows, one
+    source of truth); the vocabulary size V is a 1-row broadcast. The
+    scoring join fans the doc's bigram occurrences against the count
+    tables on word keys, then re-aggregates per doc — at corpus scale
+    the count tables are the co-location target (bucket by w1), and the
+    hot-key worry (stopword bigrams) is bounded by partial aggregation
+    on the count side and by AQE skew splits on the probe side.
+    """
+    ws = F.filter(_norm_words_expr(F.col(text_col)), lambda x: x != "")
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ws.alias("ws")
+    )
+    bg = (
+        docs.filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    prefix_counts = bg.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = bg.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        bg.join(big_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .crossJoin(vocab)
+        .withColumn("logp", F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("mean_logp"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+    )

@@ -938,49 +938,11 @@ def q_text_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Benchmark decontamination (training-data ops): per training doc, the
-# count of stride-grid windows appearing verbatim in a benchmark set.
-# The gate PLANTS contamination deterministically — benchmark texts are
-# substrings of training docs 10-29 — so hits exist by construction;
-# DuckDB joins on the window TEXT where Spark joins on xxhash64
-# (identical modulo 64-bit collisions, the dup_ngram_spans precedent).
-# Language-ID moved into the clean_text gate (src column) to keep the
-# registry at 50.
+# Benchmark decontamination (training-data ops) — consolidated into the
+# `dup_ngram_spans` gate (src='contamination'; r3 continued): both are
+# per-doc window-hash scalars, and every value the standalone gate
+# checked still is. Slot freed for `bigram_logprob`.
 # ---------------------------------------------------------------------------
-@register(
-    "contamination",
-    """
-    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
-    bench AS (
-      SELECT substr(text, 51, 120) AS btext FROM documents WHERE doc_id BETWEEN 10 AND 29
-    ),
-    bw AS (
-      SELECT DISTINCT substr(btext, CAST(t.i AS INT) + 1, 40) AS wtext
-      FROM bench, LATERAL unnest(generate_series(0, len(btext) - 40, 1)) AS t(i)
-      WHERE len(btext) >= 40
-    ),
-    tw AS (
-      SELECT doc_id, t.i AS pos, substr(text, CAST(t.i AS INT) + 1, 40) AS wtext
-      FROM train, LATERAL unnest(generate_series(0, len(text) - 40, 20)) AS t(i)
-      WHERE len(text) >= 40
-    ),
-    hits AS (
-      SELECT doc_id, count(*) AS n_hits, min(pos) AS first_hit_pos
-      FROM tw JOIN bw USING (wtext) GROUP BY doc_id
-    )
-    SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-           coalesce(h.first_hit_pos, -1) AS first_hit_pos
-    FROM (SELECT doc_id FROM train) t LEFT JOIN hits h USING (doc_id)
-    """,
-)
-def q_contamination(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
-    train = d.filter(F.col("doc_id") >= 10).select("doc_id", "text")
-    bench = (
-        d.filter(F.col("doc_id").between(10, 29))
-        .select(F.substring("text", 51, 120).alias("text"))
-    )
-    return dedup.contamination_hits(train, bench, window=40, train_stride=20)
 
 
 # ---------------------------------------------------------------------------
@@ -1088,6 +1050,45 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM quality scoring (training-data ops): CCNet-style perplexity
+# filter with the corpus's own Laplace-smoothed bigram model standing in
+# for the external LM. mean_logp averages <=~200 ln() terms of O(1-10)
+# magnitude — round(,6) sits ~8 digits above both the libm ulp and the
+# summation-order noise; ppl = exp of the UNROUNDED mean, rounded after.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_logprob",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id, ws[CAST(t.i AS INT)] AS w1, ws[CAST(t.i AS INT) + 1] AS w2
+      FROM d, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+    scored AS (
+      SELECT bg.doc_id, ln((bc.cb + 1.0) / (pc.cu + v.v)) AS logp
+      FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 6) AS mean_logp,
+           round(exp(-avg(logp)), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    return tq.bigram_logprob_scores(_load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard between adjacent doc pairs (training-data ops)
 # ---------------------------------------------------------------------------
 @register(
@@ -1173,30 +1174,82 @@ _DUP_W, _DUP_S = 40, 20
       JOIN documents d USING (doc_id)
     ),
     clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_clean FROM pieces GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
-           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
-           round(coalesce(p.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS dup_fraction,
-           CAST(length(coalesce(c.text_clean, d.text)) AS BIGINT) AS clean_len,
-           md5(coalesce(c.text_clean, d.text)) AS clean_md5
+    SELECT 'dup_spans' AS src, d.doc_id,
+           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS m1,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS m2,
+           round(coalesce(p.dup_chars, 0) * 1.0 / greatest(length(d.text), 1), 4) AS frac,
+           CAST(length(coalesce(c.text_clean, d.text)) AS VARCHAR) || ':'
+             || md5(coalesce(c.text_clean, d.text)) AS info
     FROM documents d LEFT JOIN per_doc p USING (doc_id) LEFT JOIN clean c USING (doc_id)
+    UNION ALL
+    SELECT 'contamination', doc_id, n_hits, first_hit_pos,
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM (
+      WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+      bench AS (
+        SELECT substr(text, 51, 120) AS btext FROM documents WHERE doc_id BETWEEN 10 AND 29
+      ),
+      bw AS (
+        SELECT DISTINCT substr(btext, CAST(t.i AS INT) + 1, 40) AS wtext
+        FROM bench, LATERAL unnest(generate_series(0, len(btext) - 40, 1)) AS t(i)
+        WHERE len(btext) >= 40
+      ),
+      tw AS (
+        SELECT doc_id, t.i AS pos, substr(text, CAST(t.i AS INT) + 1, 40) AS wtext
+        FROM train, LATERAL unnest(generate_series(0, len(text) - 40, 20)) AS t(i)
+        WHERE len(text) >= 40
+      ),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hits, min(pos) AS first_hit_pos
+        FROM tw JOIN bw USING (wtext) GROUP BY doc_id
+      )
+      SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.first_hit_pos, -1) AS first_hit_pos
+      FROM (SELECT doc_id FROM train) t LEFT JOIN hits h USING (doc_id)
+    )
     """,
 )
 def q_dup_ngram_spans(spark, sf_dir):
+    # src='dup_spans': per-doc duplicated-substring stats + the rewrite
+    # (clean_len re-proves the dup_chars accounting; clean_md5
+    # value-checks the rewritten TEXT). src='contamination' (absorbed
+    # gate, r3 continued — slot freed for bigram_logprob): per-train-doc
+    # verbatim-window hits against a PLANTED benchmark set (bench texts
+    # are substrings of train docs 10-29, so hits exist by
+    # construction); DuckDB joins window TEXT where Spark joins
+    # xxhash64.
     d = _load(spark, sf_dir, "documents")
     stats = dedup.duplicated_ngram_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
-    # the rewrite rides the same gate row: clean_len re-proves the
-    # dup_chars accounting (clean_len == len - dup_chars) and clean_md5
-    # value-checks the rewritten TEXT itself, not just its length
     cleaned = dedup.remove_duplicated_spans(d, "doc_id", "text", window=_DUP_W, stride=_DUP_S)
-    return stats.join(
+    dup = stats.join(
         cleaned.select(
             "doc_id",
             F.length("text_clean").cast("long").alias("clean_len"),
             F.md5("text_clean").alias("clean_md5"),
         ),
         "doc_id",
+    ).select(
+        F.lit("dup_spans").alias("src"),
+        "doc_id",
+        F.col("dup_spans").alias("m1"),
+        F.col("dup_chars").alias("m2"),
+        F.col("dup_fraction").alias("frac"),
+        F.concat_ws(":", F.col("clean_len"), F.col("clean_md5")).alias("info"),
     )
+    train = d.filter(F.col("doc_id") >= 10).select("doc_id", "text")
+    bench = (
+        d.filter(F.col("doc_id").between(10, 29))
+        .select(F.substring("text", 51, 120).alias("text"))
+    )
+    cont = dedup.contamination_hits(train, bench, window=40, train_stride=20).select(
+        F.lit("contamination").alias("src"),
+        "doc_id",
+        F.col("n_hits").alias("m1"),
+        F.col("first_hit_pos").alias("m2"),
+        F.lit(None).cast("double").alias("frac"),
+        F.lit(None).cast("string").alias("info"),
+    )
+    return dup.unionByName(cont)
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,28 @@ def test_bloom_contains_udf_exposes_broadcast_handle(spark):
     n = keys.withColumn("hit", fn(F.col("k"))).filter("hit").count()
     assert n == 10
     fn.broadcast.destroy()  # the documented cleanup path works
+
+
+def test_bigram_logprob_hand_model(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a  B c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tq.bigram_logprob_scores(docs).collect()}
+    # corpus bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c)
+    # cb: (a,b)=3 (b,a)=1 (b,c)=1; prefix cu: a=3, b=2; V={a,b}=2
+    lp_ab = math.log((3 + 1.0) / (3 + 2))
+    lp_ba = math.log((1 + 1.0) / (2 + 2))
+    lp_bc = math.log((1 + 1.0) / (2 + 2))
+    m1 = (2 * lp_ab + lp_ba) / 3
+    m2 = (lp_ab + lp_bc) / 2
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    assert abs(out[1].mean_logp - round(m1, 6)) < 1e-9
+    assert abs(out[2].mean_logp - round(m2, 6)) < 1e-9
+    assert abs(out[1].ppl - round(math.exp(-m1), 6)) < 1e-9
+    # single-word and null docs have no bigrams -> no row
+    assert 3 not in out and 4 not in out
+    # doc2 repeats the corpus-common bigram less -> higher perplexity
+    assert out[2].ppl > out[1].ppl

@@ -34,6 +34,7 @@ CROSS_OK = {
     "cost_model",           # ONE-row broadcast global aggregate joined onto per-group rows
     "overall_stats",        # 1-row x 1-row crossJoin (absorbed retention_cutoff count)
     "tfidf_top_terms",      # 1-row n_docs broadcast onto (doc, word) rows — constant traffic
+    "bigram_logprob",       # 1-row vocabulary-size broadcast onto bigram rows
 }
 
 
