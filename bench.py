@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",            # tokenization stats + quality scoring over documents
     "vocab_topk",              # corpus term/doc-frequency top-k word counts
     "tfidf_top_terms",         # per-doc characteristic terms (tf-idf top-n)
+    "bigram_logprob",          # corpus bigram-model perplexity scoring
     "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip
     "asof_join",               # point-in-time join via union-tag window merge
     "range_join_bands",        # grid-binned interval join
