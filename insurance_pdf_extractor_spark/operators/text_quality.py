@@ -289,7 +289,10 @@ def tfidf_top_terms(
     already collapsed duplicates, so the second shuffle carries one row
     per (doc, word), not per occurrence). n_docs joins on as a 1-row
     broadcast (BroadcastNestedLoopJoin of a single row — the cost_model
-    shape, constant traffic at any corpus size). The per-doc top-n
+    shape, constant traffic at any corpus size) — its agg is a second
+    corpus scan, acceptable standalone; when vocab and TF-IDF run
+    together use :func:`corpus_profile`, which persists the shared tf
+    frame and scans the corpus once. The per-doc top-n
     window partitions BY DOCUMENT: frames are bounded by distinct
     words per doc, never corpus size. Ordering is (score DESC, word
     ASC); equal (tf, doc_freq) pairs produce bit-identical scores, so
@@ -326,6 +329,79 @@ def tfidf_top_terms(
     )
 
 
+def doc_word_tf(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One corpus scan → the (doc_id, word, tf) frame every corpus-
+    profiling aggregate derives from. Zero-word docs (empty/whitespace
+    text) are retained as a single null-word row via explode_outer so
+    the document count is recoverable from this frame alone — no
+    second corpus scan for n_docs."""
+    ws = F.filter(_norm_words_expr(F.col(text_col)), lambda x: x != "")
+    exploded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode_outer(ws).alias("word")
+    )
+    return exploded.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+
+
+def vocab_from_tf(tf, id_col: str = "doc_id", k: int = 100):
+    """:func:`vocab_topk` semantics from a precomputed
+    :func:`doc_word_tf` frame: tf rows are already doc-distinct, so
+    doc_freq is a plain count and the corpus tf a sum — one slim
+    shuffle over (word), no corpus re-scan."""
+    return (
+        tf.filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.sum("tf").alias("tf"), F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def tfidf_from_tf(tf, n_docs: int, id_col: str = "doc_id", top_n: int = 5):
+    """:func:`tfidf_top_terms` semantics from a precomputed
+    :func:`doc_word_tf` frame and a known document count (a literal —
+    the profile caller already paid one count action on the slim tf
+    frame, not the corpus)."""
+    words = tf.filter(F.col("word").isNotNull())
+    doc_freq = words.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    scored = words.join(doc_freq, "word").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select(id_col, "word", "tf", "doc_freq", "score", "term_rank")
+    )
+
+
+def corpus_profile(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    top_n: int = 5,
+) -> dict:
+    """Vocabulary top-k AND per-doc TF-IDF from ONE corpus scan: the
+    shared (doc, word, tf) frame is persisted and both aggregates read
+    it back (the r3-verdict second-corpus-scan fix —
+    :func:`tfidf_top_terms` standalone pays an extra scan for n_docs;
+    here n_docs is a count action on the slim persisted tf frame).
+
+    Returns {"vocab", "tfidf", "tf"}; the caller owns
+    ``result["tf"].unpersist()`` once both outputs are materialized.
+    """
+    tf = doc_word_tf(df, text_col, id_col).persist()
+    n_docs = tf.select(id_col).distinct().count()  # null-word rows keep empty docs
+    return {
+        "vocab": vocab_from_tf(tf, id_col, k),
+        "tfidf": tfidf_from_tf(tf, n_docs, id_col, top_n),
+        "tf": tf,
+    }
+
+
 def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     """CCNet-style language-model quality signal without an external
     model: score each document by its mean bigram log-probability under
@@ -337,14 +413,19 @@ def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
 
     Returns (id, n_bigrams, mean_logp, ppl) for docs with >=1 bigram.
 
-    Scale: the count tables are Zipf-bounded aggregates ((w1,w2) and
-    prefix-count w1· — the latter derived FROM the bigram rows, one
-    source of truth); the vocabulary size V is a 1-row broadcast. The
-    scoring join fans the doc's bigram occurrences against the count
-    tables on word keys, then re-aggregates per doc — at corpus scale
-    the count tables are the co-location target (bucket by w1), and the
-    hot-key worry (stopword bigrams) is bounded by partial aggregation
-    on the count side and by AQE skew splits on the probe side.
+    Scale: the per-occurrence bigram stream is pre-collapsed to
+    (doc_id, w1, w2, n) BEFORE any word-keyed join, so the probe side
+    of the count-table joins carries one row per doc-distinct bigram
+    (Zipf-bounded), not one per occurrence — the mean is recovered
+    exactly as the weighted form sum(n·logp)/sum(n). Without the
+    pre-collapse every "of the" occurrence in the corpus lands on the
+    same (w1,w2) reducer key (the r3-verdict hot-key finding); with it,
+    hot-key fan-in is bounded by #docs containing the bigram. The
+    count tables themselves are Zipf-bounded aggregates ((w1,w2) and
+    prefix-count w1· — both derived FROM the collapsed rows, one
+    source of truth); the vocabulary size V is a 1-row broadcast. At
+    corpus scale the count tables are the co-location target (bucket
+    by w1); AQE skew splits remain the second line of defense.
     """
     ws = F.filter(_norm_words_expr(F.col(text_col)), lambda x: x != "")
     docs = df.filter(F.col(text_col).isNotNull()).select(
@@ -366,17 +447,24 @@ def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
         )
         .select(id_col, "b.w1", "b.w2")
     )
-    big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    prefix_counts = bg.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = bg.agg(F.countDistinct("w1").alias("v"))
+    # pre-collapse: one row per (doc, distinct bigram) with its
+    # occurrence count — every downstream frame (probe side AND both
+    # count tables) derives from this aggregate, so Spark reuses its
+    # shuffle across the branches.
+    dbg = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("n"))
+    big_counts = dbg.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    prefix_counts = dbg.groupBy("w1").agg(F.sum("n").alias("cu"))
+    vocab = dbg.agg(F.countDistinct("w1").alias("v"))
     scored = (
-        bg.join(big_counts, ["w1", "w2"])
+        dbg.join(big_counts, ["w1", "w2"])
         .join(prefix_counts, "w1")
         .crossJoin(vocab)
         .withColumn("logp", F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))))
     )
+    # weighted mean over occurrence counts == mean over occurrences
+    wmean = F.sum(F.col("n") * F.col("logp")) / F.sum("n")
     return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("logp"), 6).alias("mean_logp"),
-        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+        F.sum("n").alias("n_bigrams"),
+        F.round(wmean, 6).alias("mean_logp"),
+        F.round(F.exp(-wmean), 6).alias("ppl"),
     )

@@ -46,11 +46,20 @@ def curate_corpus(
     min_jaccard: float = 0.2,
     sample_fraction: float = 1.0,
     pack_budget: int = 512,
+    profile: bool = False,
 ) -> dict:
     """Returns {"survivors": DataFrame(id, text, split),
     "packing": DataFrame(id, n_tokens, start_offset, chunk_id, ...),
     "stages": [stage names in order]} — call :func:`stage_counts` for
-    the per-stage funnel."""
+    the per-stage funnel.
+
+    ``profile=True`` adds corpus-profiling outputs {"vocab", "tfidf",
+    "profile_tf"} over the survivors via
+    :func:`..operators.text_quality.corpus_profile`: both aggregates
+    share ONE persisted (doc, word, tf) frame, so the survivor text is
+    scanned once — not once per profiling output (the standalone
+    tfidf_top_terms pays a second scan for n_docs). The caller owns
+    ``result["profile_tf"].unpersist()`` after materializing both."""
     base = docs.select(F.col(id_col), F.col(text_col))
 
     quality = (
@@ -95,7 +104,13 @@ def curate_corpus(
         token_col="n_tokens",
         budget=pack_budget,
     )
-    return {
+    out: dict = {}
+    if profile:
+        prof = tq.corpus_profile(sampled, text_col=text_col, id_col=id_col)
+        out.update(
+            {"vocab": prof["vocab"], "tfidf": prof["tfidf"], "profile_tf": prof["tf"]}
+        )
+    return out | {
         "survivors": sampled.select(id_col, text_col, "n_tokens", "split"),
         "packing": packing,
         "_stages": {

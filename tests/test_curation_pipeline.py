@@ -80,7 +80,7 @@ def test_curate_job_cli_end_to_end(spark, tmp_path):
     """jobs/curate.py --input/--output/--history: the spark-submit
     packaging surface for the curation pipeline. History = the same
     corpus must yield zero survivors (every batch doc is a cross-batch
-    duplicate through incremental_dedup)."""
+    duplicate dropped by dedup.history_filter)."""
     import json
     import sys
     from pathlib import Path

@@ -339,3 +339,62 @@ def test_bigram_logprob_hand_model(spark):
     assert 3 not in out and 4 not in out
     # doc2 repeats the corpus-common bigram less -> higher perplexity
     assert out[2].ppl > out[1].ppl
+
+
+def test_bigram_logprob_probes_with_collapsed_stream(spark):
+    """Scale-shape pin (r3 verdict): the count-table joins must probe
+    with the pre-collapsed (doc, w1, w2, n) frame, not the raw
+    occurrence stream — the probe side's aggregate groups on
+    [doc_id, w1, w2] BEFORE any join appears above it."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c b c")], "doc_id long, text string"
+    )
+    out = tq.bigram_logprob_scores(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the per-(doc,bigram) aggregate exists...
+    assert "doc_id" in plan and "w1" in plan and "w2" in plan
+    import re
+
+    # ...and every join key block sits above an Aggregate that carries
+    # doc_id in its grouping (the collapsed frame), i.e. no Join's
+    # immediate left input is the raw explode projection.
+    first_join = plan.find("Join")
+    agg_with_doc = re.search(r"Aggregate \[[^\]]*doc_id[^\]]*w1[^\]]*w2[^\]]*\]", plan)
+    assert agg_with_doc is not None and first_join != -1
+    assert agg_with_doc.start() > first_join  # collapsed agg feeds the joins
+
+
+def test_corpus_profile_matches_standalone_one_scan(spark):
+    """corpus_profile == (vocab_topk, tfidf_top_terms) value-for-value,
+    while both outputs read the ONE persisted tf frame instead of
+    re-scanning the corpus (the r3 second-scan fix)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry date"),
+            (4, "   "),   # zero-word doc still counts toward n_docs
+            (5, None),    # null text excluded everywhere
+        ],
+        "doc_id long, text string",
+    )
+    prof = tq.corpus_profile(docs, k=10, top_n=2)
+    try:
+        want_vocab = [(r.word, r.tf, r.doc_freq) for r in tq.vocab_topk(docs, k=10).collect()]
+        got_vocab = [(r.word, r.tf, r.doc_freq) for r in prof["vocab"].collect()]
+        assert got_vocab == want_vocab
+
+        def key(df):
+            return {
+                (r.doc_id, r.term_rank): (r.word, r.tf, r.doc_freq, r.score)
+                for r in df.collect()
+            }
+
+        assert key(prof["tfidf"]) == key(tq.tfidf_top_terms(docs, top_n=2))
+        # one-scan evidence: both profile outputs execute from the
+        # persisted tf frame, not a fresh corpus scan
+        for out in (prof["vocab"], prof["tfidf"]):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+    finally:
+        prof["tf"].unpersist()
