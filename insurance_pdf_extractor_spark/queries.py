@@ -468,7 +468,10 @@ def q_pk_fk_join(spark, sf_dir):
 # J2 anti-join (NOT IN) + semi-join (EXISTS) consolidated into ONE gate
 # row (50-query driver window; normalize_suite precedent): both grouped
 # counts union under a `src` tag, every value of the two former gates
-# still checked.
+# still checked. r4 adds src='salted_orders': the SAME orders⋈customer
+# inner join routed through operators/skew.salted_join — the oracle is
+# the PLAIN join (salting must be value-invariant; the equivalence the
+# local tests assert, now value-checked by the driver).
 @register(
     "filter_joins",
     """
@@ -480,6 +483,10 @@ def q_pk_fk_join(spark, sf_dir):
     SELECT 'semi_active', CAST(s_nationkey AS VARCHAR), count(*)
     FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
     GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'salted_orders', c_mktsegment, count(*)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
     """,
 )
 def q_filter_joins(spark, sf_dir):
@@ -511,7 +518,21 @@ def q_filter_joins(spark, sf_dir):
             "n",
         )
     )
-    return anti.unionByName(semi)
+    from .operators.skew import salted_join
+
+    big = _load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    small = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = (
+        salted_join(big, small, on="c_custkey", salt_n=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("salted_orders").alias("src"),
+            F.col("c_mktsegment").alias("group_key"),
+            "n",
+        )
+    )
+    return anti.unionByName(semi).unionByName(salted)
 
 
 # ---------------------------------------------------------------------------
