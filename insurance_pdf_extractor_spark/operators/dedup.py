@@ -758,91 +758,227 @@ def _bloom_positions(keys_u64: np.ndarray, n_bits: int, n_hashes: int) -> np.nda
     return (h1[None, :] + i * h2[None, :]) & np.uint64(n_bits - 1)
 
 
-def bloom_bitmap(df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.ndarray:
-    """Build a Bloom bitmap over an int64 key column EXECUTOR-side: one
-    packed uint64 bitmap per partition via mapInPandas (the
-    treeAggregate shape Spark's own ``df.stat.bloomFilter`` uses), then
-    OR-merged on the driver. The driver traffic is #partitions x
-    n_bits/8 bytes — bounded by the partition count, independent of row
-    count. At 10^12 history rows one global bitmap is impractical
-    (~1.8 GB/1e10 keys at 1% fpp); shard the history by fingerprint
-    range and build one bitmap per shard — same kernel, bounded memory.
+def _shard_of(keys_u64: np.ndarray, n_shards: int) -> np.ndarray:
+    """Fingerprint-RANGE shard: the top log2(n_shards) bits of the
+    64-bit key, so a shard is a contiguous key range and a history
+    table PARTITIONED by this value lets a per-shard bitmap (re)build
+    prune to one partition directory."""
+    if n_shards == 1:
+        return np.zeros(len(keys_u64), dtype=np.uint64)
+    return keys_u64 >> np.uint64(64 - (n_shards.bit_length() - 1))
+
+
+def shard_expr(key: Column, n_shards: int) -> Column:
+    """Spark-side twin of :func:`_shard_of` (int64 arithmetic: shift
+    the sign bit away by flipping to unsigned order via xor is not
+    needed — Java >>> is shiftrightunsigned)."""
+    if n_shards == 1:
+        return F.lit(0).cast("int")
+    return F.shiftrightunsigned(key, 64 - (n_shards.bit_length() - 1)).cast("int")
+
+
+def bloom_bitmaps(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    n_shards: int = 1,
+    saturation_warn: float = 0.5,
+) -> np.ndarray:
+    """Build fingerprint-range-sharded Bloom bitmaps over an int64 key
+    column EXECUTOR-side: per partition, one packed uint64 bitmap per
+    shard SEEN IN THAT PARTITION via mapInPandas (the treeAggregate
+    shape Spark's own ``df.stat.bloomFilter`` uses), then OR-merged per
+    shard on the driver. Returns shape (n_shards, n_bits/64); driver
+    traffic is (#partitions x shards-per-partition) x n_bits/8 bytes.
+
+    Sharding is the 10^12-history answer the single-bitmap design
+    can't give: ``n_bits`` is PER SHARD, so total filter capacity
+    scales as n_shards x n_bits with per-task memory bounded by the
+    shards a partition actually contains — over a history table
+    partitioned by :func:`shard_expr` that is exactly ONE bitmap per
+    task, and a single shard's bitmap can be rebuilt by scanning one
+    partition directory (see :func:`write_fingerprint_table`).
+
+    Warns when any shard's fill fraction exceeds ``saturation_warn``
+    (default 50%): a saturated bitmap answers "maybe" for everything —
+    still correct (the confirm join is exact) but pure overhead, the
+    silent-degradation mode the r3 advice flagged. Size n_bits at
+    ~10 bits/key/shard for 1% fpp.
     """
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    if n_shards & (n_shards - 1):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
     n_words = n_bits >> 6
-    out_schema = T.StructType([T.StructField("bits", T.BinaryType())])
+    out_schema = T.StructType(
+        [T.StructField("shard", T.IntegerType()), T.StructField("bits", T.BinaryType())]
+    )
 
     def build(batches):
-        bits = np.zeros(n_words, dtype=np.uint64)
-        any_rows = False
+        shard_bits: dict[int, np.ndarray] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            any_rows = True
             k = pdf[key_col].to_numpy(np.int64).view(np.uint64)
-            pos = _bloom_positions(k, n_bits, n_hashes).ravel()
-            np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
-        if any_rows:
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
+            shards = _shard_of(k, n_shards)
+            for s in np.unique(shards):
+                bits = shard_bits.setdefault(int(s), np.zeros(n_words, dtype=np.uint64))
+                pos = _bloom_positions(k[shards == s], n_bits, n_hashes).ravel()
+                np.bitwise_or.at(
+                    bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+                )
+        if shard_bits:
+            yield pd.DataFrame(
+                {
+                    "shard": list(shard_bits),
+                    "bits": [b.tobytes() for b in shard_bits.values()],
+                }
+            )
 
-    acc = np.zeros(n_words, dtype=np.uint64)
+    acc = np.zeros((n_shards, n_words), dtype=np.uint64)
     for row in df.select(key_col).mapInPandas(build, out_schema).collect():
-        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+        acc[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint64)
+    fill = bloom_fill_fractions(acc)
+    worst = float(fill.max()) if len(fill) else 0.0
+    if worst > saturation_warn:
+        import warnings
+
+        warnings.warn(
+            f"bloom bitmap saturated: max shard fill {worst:.2f} > {saturation_warn} "
+            f"(n_bits={n_bits}, n_shards={n_shards}) — the filter degrades to "
+            "pass-through and every row pays the confirm join; raise n_bits or n_shards",
+            stacklevel=2,
+        )
     return acc
 
 
+def bloom_fill_fractions(bitmaps: np.ndarray) -> np.ndarray:
+    """Per-shard fraction of set bits (popcount / n_bits)."""
+    b2 = np.atleast_2d(bitmaps)
+    ones = np.unpackbits(b2.view(np.uint8), axis=1).sum(axis=1)
+    return ones / (b2.shape[1] * 64)
+
+
+def bloom_bitmap(df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.ndarray:
+    """Single-shard convenience wrapper over :func:`bloom_bitmaps`
+    (returns the flat 1-D bitmap the original API exposed)."""
+    return bloom_bitmaps(df, key_col, n_bits=n_bits, n_hashes=n_hashes, n_shards=1)[0]
+
+
 def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes: int):
-    """Vectorized membership test against a broadcast Bloom bitmap
-    (numpy gather + shift per Arrow batch, no per-row Python).
+    """Vectorized membership test against broadcast Bloom bitmap(s)
+    (numpy gather + shift per Arrow batch, no per-row Python). Accepts
+    the flat 1-D single bitmap or the (n_shards, n_words) sharded array
+    from :func:`bloom_bitmaps`; for the sharded form each key probes
+    only ITS fingerprint-range shard.
 
     The Spark broadcast stays pinned for the session unless released:
     the handle is exposed as ``might_contain.broadcast`` so long-lived
     callers (streaming micro-batch loops, benchmark harnesses) can
     ``.broadcast.destroy()`` after the consuming action completes —
     one-shot batch jobs can ignore it."""
-    bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    b2 = np.atleast_2d(bitmap)
+    n_shards, n_words = b2.shape
+    bc = df.sparkSession.sparkContext.broadcast(b2.tobytes())
 
     @F.pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        bits = np.frombuffer(bc.value, dtype=np.uint64)  # flat (n_shards*n_words,)
         k = keys.to_numpy(np.int64).view(np.uint64)
+        base = _shard_of(k, n_shards) * np.uint64(n_words)
         pos = _bloom_positions(k, n_bits, n_hashes)
-        hit = (bits[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        hit = (bits[base[None, :] + (pos >> np.uint64(6))] >> (pos & np.uint64(63))) & np.uint64(1)
         return pd.Series(hit.all(axis=0))
 
     might_contain.broadcast = bc
     return might_contain
 
 
+def history_fingerprints(history: DataFrame, text_col: str = "text") -> DataFrame:
+    """The slim (\\_\\_fp md5, \\_\\_bk xxhash64) fingerprint frame the
+    incremental-dedup confirm join and Bloom build both read — compute
+    once per accepted batch and append to a persistent table
+    (:func:`write_fingerprint_table`) so history TEXT is never
+    re-scanned at ingest time."""
+    norm = normalize_text_expr(F.col(text_col))
+    return history.filter(F.col(text_col).isNotNull()).select(
+        F.md5(norm).alias("__fp"), F.xxhash64(norm).alias("__bk")
+    )
+
+
+def write_fingerprint_table(
+    history: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 64,
+    n_shards: int = 1,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the history fingerprint table the 10^12-doc audit
+    prescribes: BUCKETED by ``__fp`` (the confirm anti-join's key, so
+    the join reads the history side with zero exchange — only the slim
+    bloom-positive batch side shuffles to the bucket layout) and, when
+    ``n_shards > 1``, PARTITIONED by the fingerprint-range shard id so
+    one shard's Bloom bitmap can be (re)built by scanning a single
+    partition directory. ``mode='append'`` is the per-ingest update:
+    append the accepted batch's fingerprints, OR its per-shard bitmaps
+    into the cached ones.
+
+    Reference anchor: the cross-batch generalization of the storage
+    dedup discipline (/root/reference/app/services/storage.py:167-306).
+    """
+    fp = history_fingerprints(history, text_col)
+    if n_shards > 1:
+        fp = fp.withColumn("__shard", shard_expr(F.col("__bk"), n_shards))
+    w = fp.write.mode(mode).option("path", path).format("parquet")
+    if n_shards > 1:
+        w = w.partitionBy("__shard")
+    w.bucketBy(n_buckets, "__fp").sortBy("__fp").saveAsTable(table_name)
+
+
 def incremental_dedup(
     batch: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    n_shards: int = 1,
+    hist_fp: DataFrame | None = None,
+    bitmaps: np.ndarray | None = None,
 ) -> DataFrame:
     """Dedup a new ingest batch against an already-accepted history:
     returns (id, n_batch_dups) for the batch rows whose normalized text
     is (a) first within the batch — min id wins, the
-    :func:`exact_dedup` contract — and (b) absent from ``history``.
+    :func:`exact_dedup` contract — and (b) absent from the history.
 
     Two fingerprints per text, both computed map-side so no shuffle
     ever carries text: md5 (128-bit, collision-safe at corpus scale)
     for grouping and anti-join equality; xxhash64 for the Bloom probes.
-    Against a history fingerprint table BUCKETED by fp the confirm
-    anti-join is shuffle-free on the history side — and its batch side
-    is only the bloom-positive survivors.
-    """
-    def fps(df: DataFrame, *extra):
-        norm = normalize_text_expr(F.col(text_col))
-        return df.filter(F.col(text_col).isNotNull()).select(
-            *extra, F.md5(norm).alias("__fp"), F.xxhash64(norm).alias("__bk")
-        )
 
+    The production 10^12-history shape passes ``hist_fp`` (the
+    fingerprint table written by :func:`write_fingerprint_table`,
+    bucketed by __fp → the confirm anti-join reads the history side
+    shuffle-free) and ``n_shards > 1`` (fingerprint-range-sharded
+    bitmaps: total filter capacity n_shards x n_bits with bounded
+    per-task memory). ``bitmaps`` accepts the prebuilt sharded array so
+    long-lived callers (streaming micro-batch loops) build once per
+    history epoch and reuse across batches instead of re-scanning
+    history per call; the result is invariant to all three knobs.
+    ``history`` (raw text) remains the convenience path and is ignored
+    when ``hist_fp`` is given.
+    """
+    if hist_fp is None:
+        if history is None:
+            raise ValueError("incremental_dedup needs history or hist_fp")
+        hist_fp = history_fingerprints(history, text_col)
+
+    norm = normalize_text_expr(F.col(text_col))
     firsts = (
-        fps(batch, id_col)
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(norm).alias("__fp"), F.xxhash64(norm).alias("__bk"))
         .groupBy("__fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -850,9 +986,11 @@ def incremental_dedup(
             F.min("__bk").alias("__bk"),  # same text -> same __bk; min = deterministic
         )
     )
-    hist_fp = fps(history)
-    bitmap = bloom_bitmap(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes)
-    maybe = bloom_contains_udf(batch, bitmap, n_bits, n_hashes)
+    if bitmaps is None:
+        bitmaps = bloom_bitmaps(
+            hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards
+        )
+    maybe = bloom_contains_udf(batch, bitmaps, n_bits, n_hashes)
     # Materialize the flagged frame ONCE: both union branches consume
     # it, and exchange reuse would cache only the shuffle — the groupBy
     # finalization + the Arrow bloom probe would otherwise run twice
@@ -868,28 +1006,37 @@ def incremental_dedup(
 
 def history_filter(
     batch: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    n_shards: int = 1,
+    hist_fp: DataFrame | None = None,
+    bitmaps: np.ndarray | None = None,
 ) -> DataFrame:
-    """Drop batch rows whose normalized text already exists in
-    ``history`` — ALL other rows pass through with their full schema
+    """Drop batch rows whose normalized text already exists in the
+    history — ALL other rows pass through with their full schema
     (in-batch duplicates intact). This is the pre-filter an ingest
     pipeline wants BEFORE its own quality/dedup stages: unlike
     :func:`incremental_dedup` it does not pick an in-batch
     representative, so downstream stages choose keepers AFTER quality
     filtering. Same bloom routing: bloom-negative rows skip the
     anti-join; positives are exact-confirmed on the md5 fingerprint.
-    Rows with null text are dropped (no fingerprint)."""
+    Rows with null text are dropped (no fingerprint). Scale knobs
+    identical to :func:`incremental_dedup`: ``hist_fp`` (bucketed
+    fingerprint table → shuffle-free confirm), ``n_shards`` (sharded
+    bitmaps), ``bitmaps`` (prebuilt, reused across micro-batches)."""
+    if hist_fp is None:
+        if history is None:
+            raise ValueError("history_filter needs history or hist_fp")
+        hist_fp = history_fingerprints(history, text_col)
     norm = normalize_text_expr(F.col(text_col))
-    hist_fp = history.filter(F.col(text_col).isNotNull()).select(
-        F.md5(normalize_text_expr(F.col(text_col))).alias("__fp"),
-        F.xxhash64(normalize_text_expr(F.col(text_col))).alias("__bk"),
-    )
-    bitmap = bloom_bitmap(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes)
-    maybe = bloom_contains_udf(batch, bitmap, n_bits, n_hashes)
+    if bitmaps is None:
+        bitmaps = bloom_bitmaps(
+            hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards
+        )
+    maybe = bloom_contains_udf(batch, bitmaps, n_bits, n_hashes)
     tagged = (
         batch.filter(F.col(text_col).isNotNull())
         .withColumn("__fp", F.md5(norm))

@@ -999,15 +999,28 @@ def q_text_quality(spark, sf_dir):
     """,
 )
 def q_incremental_dedup(spark, sf_dir):
+    import uuid
+
     d = _load(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") % 3 == 0)
     echo = d.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
     batch = d.filter(F.col("doc_id") % 2 == 0).unionByName(echo)
-    # Small bitmap (64 Kbit) so the fpp path is plausibly exercised at
-    # gate scale; correctness is fpp-independent by construction.
-    return dedup.incremental_dedup(batch, history, n_bits=1 << 16)
+    # r4: the gate now exercises the PRODUCTION shape end-to-end —
+    # history fingerprints materialized as a bucketed (by __fp, the
+    # confirm-join key → shuffle-free history side) + shard-partitioned
+    # fingerprint table, probed through fingerprint-range-SHARDED bloom
+    # bitmaps (n_shards=4). Small per-shard bitmaps (16 Kbit) so the
+    # fpp path is plausibly exercised at gate scale; correctness is
+    # fpp/shard-invariant by construction (tests pin {1,2,8} shards).
+    name = "gate_hist_fp_" + uuid.uuid4().hex[:8]
+    dedup.write_fingerprint_table(
+        history, name, _gate_tmpdir("hist_fp_"), n_buckets=8, n_shards=4
+    )
+    return dedup.incremental_dedup(
+        batch, hist_fp=spark.table(name), n_bits=1 << 14, n_shards=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -398,3 +398,123 @@ def test_corpus_profile_matches_standalone_one_scan(spark):
             assert "InMemoryTableScan" in plan
     finally:
         prof["tf"].unpersist()
+
+
+# -- r4: fingerprint-range-sharded bitmaps + bucketed confirm ---------------
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+@pytest.mark.parametrize("n_bits", [1 << 6, 1 << 16])
+def test_incremental_dedup_shard_count_invariance(spark, corpus, n_shards, n_bits):
+    """The sharded-bitmap path must be value-identical to the single
+    bitmap at every (fpp, shard count) — sharding only changes WHERE a
+    key probes, never the outcome (exactness comes from the confirm
+    join either way)."""
+    history = corpus.filter((F.col("doc_id") < 10) & ~F.col("doc_id").isin(3, 7))
+    batch = corpus.filter(F.col("doc_id").between(20, 39))
+    out = dedup.incremental_dedup(batch, history, n_bits=n_bits, n_shards=n_shards)
+    assert _as_set(out) == _as_set(_reference(batch, history))
+
+
+def test_sharded_bloom_no_false_negatives_and_shape(spark):
+    keys = spark.range(0, 500).select(F.xxhash64("id").alias("k"))
+    bms = dedup.bloom_bitmaps(keys, "k", n_bits=1 << 12, n_hashes=5, n_shards=8)
+    assert bms.shape == (8, (1 << 12) >> 6)
+    fn = dedup.bloom_contains_udf(keys, bms, 1 << 12, 5)
+    assert keys.withColumn("hit", fn(F.col("k"))).filter("hit").count() == 500
+    # xxhash64 keys spread across the top-bit ranges: several shards populated
+    assert (dedup.bloom_fill_fractions(bms) > 0).sum() >= 4
+
+
+def test_sharded_bloom_rejects_non_members(spark):
+    keys = spark.range(0, 500).select(F.xxhash64("id").alias("k"))
+    bms = dedup.bloom_bitmaps(keys, "k", n_bits=1 << 17, n_hashes=5, n_shards=4)
+    others = spark.range(10_000, 10_500).select(F.xxhash64("id").alias("k"))
+    fn = dedup.bloom_contains_udf(others, bms, 1 << 17, 5)
+    assert others.withColumn("hit", fn(F.col("k"))).filter("hit").count() <= 2
+
+
+def test_bloom_saturation_warns(spark):
+    keys = spark.range(0, 2000).select(F.xxhash64("id").alias("k"))
+    with pytest.warns(UserWarning, match="saturated"):
+        dedup.bloom_bitmaps(keys, "k", n_bits=1 << 6, n_hashes=5)
+
+
+def test_bloom_requires_power_of_two_shards(spark):
+    keys = spark.range(3).select(F.xxhash64("id").alias("k"))
+    with pytest.raises(ValueError):
+        dedup.bloom_bitmaps(keys, "k", n_bits=1 << 8, n_shards=3)
+
+
+def test_prebuilt_bitmaps_reused_across_batches(spark, corpus):
+    """ADVICE r3: a micro-batch loop builds the history bitmaps ONCE
+    and passes them to every incremental_dedup call — results identical
+    to per-call builds, and no history scan happens per batch (the
+    hist_fp frame is never touched when bitmaps are supplied and no
+    bloom-positive confirm is needed)."""
+    history = corpus.filter(F.col("doc_id") < 10)
+    hist_fp = dedup.history_fingerprints(history)
+    bms = dedup.bloom_bitmaps(hist_fp, "__bk", n_bits=1 << 16, n_shards=4)
+    for lo, hi in [(20, 29), (30, 39)]:
+        batch = corpus.filter(F.col("doc_id").between(lo, hi))
+        got = dedup.incremental_dedup(
+            batch, hist_fp=hist_fp, bitmaps=bms, n_bits=1 << 16, n_shards=4
+        )
+        assert _as_set(got) == _as_set(_reference(batch, history))
+
+
+def test_shard_expr_matches_numpy_shard(spark):
+    """Spark-side shard id (shiftrightunsigned) == numpy top-bit shard
+    for negative and positive hashes alike."""
+    keys = spark.range(0, 256).select(F.xxhash64("id").alias("k"))
+    for n_shards in (2, 8, 64):
+        rows = keys.select("k", dedup.shard_expr(F.col("k"), n_shards).alias("s")).collect()
+        ks = np.array([r.k for r in rows], dtype=np.int64).view(np.uint64)
+        want = dedup._shard_of(ks, n_shards).astype(np.int64)
+        assert [r.s for r in rows] == list(want)
+
+
+def test_bucketed_fingerprint_table_confirm(spark, corpus, tmp_path):
+    """write_fingerprint_table → incremental_dedup(hist_fp=table):
+    values equal the raw-history path, and — broadcast disabled so the
+    bucket layout matters — the confirm anti-join plan has NO exchange
+    above the bucketed history scan (only the slim batch side
+    shuffles)."""
+    import uuid
+
+    history = corpus.filter((F.col("doc_id") < 10) & ~F.col("doc_id").isin(3, 7))
+    batch = corpus.filter(F.col("doc_id").between(20, 39))
+    name = "hist_fp_" + uuid.uuid4().hex[:8]
+    dedup.write_fingerprint_table(
+        history, name, str(tmp_path / "hist_fp"), n_buckets=4, n_shards=4
+    )
+    try:
+        tbl = spark.table(name)
+        assert "__shard" in tbl.columns  # range-partitioned for per-shard rebuilds
+        out = dedup.incremental_dedup(
+            batch, hist_fp=tbl, n_bits=1 << 16, n_shards=4
+        )
+        assert _as_set(out) == _as_set(_reference(batch, history))
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                dedup.incremental_dedup(batch, hist_fp=tbl, n_bits=1 << 16, n_shards=4)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the history-side scan is bucketed and the anti-join reads it
+        # WITHOUT an exchange: the plan's only Exchange hash-partitions
+        # the slim bloom-positive batch side to the bucket layout;
+        # the history child is Sort → FileScan (Bucketed: true).
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        seg = plan[plan.find("LeftAnti") :]
+        assert seg.count("Exchange") == 1  # the batch side only
+        hist_child = seg[seg.rfind("+- Sort") :]  # second SMJ input
+        assert "FileScan" in hist_child and "Exchange" not in hist_child
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
