@@ -47,6 +47,7 @@ def curate_corpus(
     sample_fraction: float = 1.0,
     pack_budget: int = 512,
     profile: bool = False,
+    tokenizer: str = "whitespace",
 ) -> dict:
     """Returns {"survivors": DataFrame(id, text, split),
     "packing": DataFrame(id, n_tokens, start_offset, chunk_id, ...),
@@ -59,12 +60,26 @@ def curate_corpus(
     share ONE persisted (doc, word, tf) frame, so the survivor text is
     scanned once — not once per profiling output (the standalone
     tfidf_top_terms pays a second scan for n_docs). The caller owns
-    ``result["profile_tf"].unpersist()`` after materializing both."""
+    ``result["profile_tf"].unpersist()`` after materializing both.
+
+    ``tokenizer`` picks the token counter the quality bounds and the
+    packing budget run on: 'whitespace' (codegen'd column expr) or
+    'bpe' (real merges-table encoder, operators/bpe.py — one Arrow
+    kernel riding the same scan; use it when chunks must tile a real
+    tokenizer's budget)."""
+    if tokenizer == "whitespace":
+        count_tokens = tq.token_count_expr(F.col(text_col))
+    elif tokenizer == "bpe":
+        from ..operators.bpe import bpe_token_count_udf
+
+        count_tokens = bpe_token_count_udf()(F.col(text_col))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (whitespace|bpe)")
     base = docs.select(F.col(id_col), F.col(text_col))
 
     quality = (
         tq.repetition_stats(
-            base.withColumn("n_tokens", tq.token_count_expr(F.col(text_col)))
+            base.withColumn("n_tokens", count_tokens)
             .withColumn(
                 "quality", tq.quality_score_expr(F.col(text_col), F.length(text_col))
             )

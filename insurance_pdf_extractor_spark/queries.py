@@ -894,7 +894,7 @@ def q_clean_text(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "text_quality",
-    """
+    f"""
     WITH rep_w AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
@@ -922,6 +922,7 @@ def q_clean_text(spark, sf_dir):
     SELECT d.doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS n_bpe_ish,
+           bpe.n_bpe AS n_bpe,
            round(0.4 * least(n_chars / 500.0, 1.0)
                + 0.4 * least(5.0 * len(regexp_extract_all(lower(text),
                      '\\b(the|a|of|to|and|in|is|on|for|with)\\b'))
@@ -941,9 +942,15 @@ def q_clean_text(spark, sf_dir):
     JOIN rep_w USING (doc_id)
     LEFT JOIN topb USING (doc_id)
     LEFT JOIN fdup USING (doc_id)
+    LEFT JOIN read_parquet('{_FIXTURES_DIR}/fx_bpe_tokens.parquet') bpe USING (doc_id)
     """,
 )
 def q_text_quality(spark, sf_dir):
+    # n_bpe: REAL merges-table BPE (operators/bpe.py) — the oracle side
+    # is tools/make_fixtures.fx_bpe_tokens, an independent pure-Python
+    # encoder over the same merges table (data, like a vocab file).
+    from .operators.bpe import bpe_token_count_udf
+
     d = _load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -952,6 +959,7 @@ def q_text_quality(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
             "n_bpe_ish"
         ),
+        bpe_token_count_udf()(F.col("text")).alias("n_bpe"),
         tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
         tq.mean_word_len_expr(F.col("text")).alias("mean_word_len"),
     )

@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--min-jaccard", type=float, default=0.2)
     ap.add_argument("--sample", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=512)
+    ap.add_argument(
+        "--tokenizer",
+        choices=["whitespace", "bpe"],
+        default="whitespace",
+        help="token counter for quality bounds + packing budget (bpe = real merges-table encoder)",
+    )
     ap.add_argument("--skip-funnel", action="store_true", help="skip per-stage counts (production)")
     args = ap.parse_args(argv)
 
@@ -79,6 +85,7 @@ def main(argv: list[str] | None = None) -> None:
         min_jaccard=args.min_jaccard,
         sample_fraction=args.sample,
         pack_budget=args.pack_budget,
+        tokenizer=args.tokenizer,
     )
     curated["survivors"].write.mode("overwrite").parquet(f"{args.output}/survivors")
     curated["packing"].write.mode("overwrite").parquet(f"{args.output}/packing")

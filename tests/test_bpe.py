@@ -1,0 +1,96 @@
+"""Merges-table BPE token counting (operators/bpe.py): training
+determinism, encoder semantics, the Arrow kernel's null handling, and
+packing-at-real-token-counts tiling (the r3 verdict's wiring ask)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_pdf_extractor_spark.operators import bpe
+from insurance_pdf_extractor_spark.operators.packing import pack_documents
+
+
+def test_train_bpe_deterministic_and_ordered():
+    texts = ["low lower lowest low low", "newer newest new"]
+    m1 = bpe.train_bpe(texts, n_merges=10)
+    m2 = bpe.train_bpe(texts, n_merges=10)
+    assert m1 == m2 and len(m1) <= 10
+    # 'low' occurs 4x: ('l','o') or ('o','w') must be the first merge,
+    # lexicographic tiebreak picks ('l','o')
+    assert m1[0] == ("l", "o")
+
+
+def test_bpe_encode_applies_merges_in_rank_order():
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert bpe.bpe_encode("lower", ranks) == ["low", "er"]
+    assert bpe.bpe_encode("low", ranks) == ["low"]
+    # no applicable merge → characters
+    assert bpe.bpe_encode("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_bpe_merges_all_occurrences_each_round():
+    ranks = {("a", "b"): 0}
+    assert bpe.bpe_encode("ababab", ranks) == ["ab", "ab", "ab"]
+
+
+def test_default_merges_compress_seed_vocabulary():
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    # hot domain words fuse to one or two tokens
+    assert len(bpe.bpe_encode("the", ranks)) == 1
+    assert len(bpe.bpe_encode("insured", ranks)) <= 2
+    # unseen gibberish stays near character-level
+    assert len(bpe.bpe_encode("qzxqzx", ranks)) >= 4
+
+
+def test_bpe_token_count_udf_nulls_and_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the insured party"),
+            (2, None),
+            (3, ""),
+            (4, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", bpe.bpe_token_count_udf()(F.col("text")).alias("n")).collect()
+    }
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+
+    def pure(t):
+        return sum(len(bpe.bpe_encode(w, ranks)) for w in bpe.PRETOKEN_RE.findall(t))
+
+    assert got[2] is None and got[3] == 0
+    assert got[1] == pure("the insured party")
+    assert got[4] == 3 * pure("the")
+
+
+def test_packing_tiles_exactly_at_bpe_counts(spark):
+    """sequence packing budgeted by REAL BPE counts: chunk-local spans
+    still tile [0, budget) with no overlap and full doc coverage."""
+    rows = [(i, f"policy number {i} with premium payment due") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = docs.select(
+        "doc_id", bpe.bpe_token_count_udf()(F.col("text")).alias("n_tokens")
+    )
+    budget = 16
+    out = pack_documents(counted, id_col="doc_id", token_col="n_tokens", budget=budget)
+    rows = out.collect()
+    assert rows, "packing produced no layout"
+    total_tokens = counted.agg(F.sum("n_tokens")).first()[0]
+    # per-doc coverage: sum of chunk-local span lengths == n_tokens
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + (r.end_in_chunk - r.begin_in_chunk)
+        assert 0 <= r.begin_in_chunk < r.end_in_chunk <= budget
+    counts = {r.doc_id: r.n_tokens for r in counted.collect()}
+    assert per_doc == {k: v for k, v in counts.items() if v > 0}
+    # chunks tile: every chunk except the last is exactly full
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + (r.end_in_chunk - r.begin_in_chunk)
+    last = max(per_chunk)
+    assert all(v == budget for c, v in per_chunk.items() if c != last)
+    assert sum(per_chunk.values()) == total_tokens

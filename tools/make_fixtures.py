@@ -632,6 +632,47 @@ def fx_kmeans_semantic(embs, k=8, n_iter=4, threshold=0.4) -> pa.Table:
     )
 
 
+def fx_bpe_tokens(docs) -> pa.Table:
+    """Expected BPE token counts under the packaged merges table. The
+    merges are shared DATA (a tokenizer's vocab file — like the XXH64
+    spec constants); the ENCODER here is an independent implementation:
+    it merges the lowest-rank pair one leftmost occurrence at a time,
+    provably equivalent to the engine's merge-all-occurrences loop
+    because any pair involving a merged symbol was learned after (ranks
+    strictly later than) the merge that created the symbol."""
+    from insurance_pdf_extractor_spark.operators.bpe import PRETOKEN_RE, default_merges
+
+    ranks = {p: i for i, p in enumerate(default_merges())}
+
+    def encode_len(word: str) -> int:
+        parts = list(word)
+        while True:
+            best = None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                return len(parts)
+            i = best[1]
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+
+    cache: dict[str, int] = {}
+    ids, ns = [], []
+    for doc_id, text in docs:
+        ids.append(doc_id)
+        if text is None:
+            ns.append(None)
+            continue
+        total = 0
+        for w in PRETOKEN_RE.findall(text):
+            if w not in cache:
+                cache[w] = encode_len(w)
+            total += cache[w]
+        ns.append(total)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "n_bpe": pa.array(ns, pa.int64())})
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else Path(__file__).resolve().parents[1] / "fixtures")
@@ -651,6 +692,7 @@ def main():
         "ann_bucketed_topk": fx_ann_bucketed(embs),
         "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
         "kmeans_semantic_dedup": fx_kmeans_semantic(embs),
+        "bpe_tokens": fx_bpe_tokens(docs),
     }
     for name, table in tables.items():
         path = out_dir / f"fx_{name}.parquet"
