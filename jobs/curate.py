@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> None:
         help="token counter for quality bounds + packing budget (bpe = real merges-table encoder)",
     )
     ap.add_argument("--skip-funnel", action="store_true", help="skip per-stage counts (production)")
+    ap.add_argument(
+        "--run-id",
+        default=None,
+        help="resumable mode: stage-granular checkpointing under --output; "
+        "re-running with the same id skips completed stages (plans/curation.run_curate_job)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -77,22 +83,38 @@ def main(argv: list[str] | None = None) -> None:
         history = spark.read.parquet(args.history)
         docs = dedup.history_filter(docs, history)
 
-    curated = curate_corpus(
-        docs,
-        min_tokens=args.min_tokens,
-        max_tokens=args.max_tokens,
-        min_quality=args.min_quality,
-        min_jaccard=args.min_jaccard,
-        sample_fraction=args.sample,
-        pack_budget=args.pack_budget,
-        tokenizer=args.tokenizer,
-    )
-    curated["survivors"].write.mode("overwrite").parquet(f"{args.output}/survivors")
-    curated["packing"].write.mode("overwrite").parquet(f"{args.output}/packing")
-
     out: dict = {"output": args.output}
-    if not args.skip_funnel:
-        out["funnel"] = stage_counts(curated)
+    if args.run_id:
+        from insurance_pdf_extractor_spark.plans.curation import run_curate_job
+
+        res = run_curate_job(
+            docs,
+            args.output,
+            args.run_id,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            min_quality=args.min_quality,
+            min_jaccard=args.min_jaccard,
+            sample_fraction=args.sample,
+            pack_budget=args.pack_budget,
+            tokenizer=args.tokenizer,
+        )
+        out |= res
+    else:
+        curated = curate_corpus(
+            docs,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            min_quality=args.min_quality,
+            min_jaccard=args.min_jaccard,
+            sample_fraction=args.sample,
+            pack_budget=args.pack_budget,
+            tokenizer=args.tokenizer,
+        )
+        curated["survivors"].write.mode("overwrite").parquet(f"{args.output}/survivors")
+        curated["packing"].write.mode("overwrite").parquet(f"{args.output}/packing")
+        if not args.skip_funnel:
+            out["funnel"] = stage_counts(curated)
     out["survivors"] = spark.read.parquet(f"{args.output}/survivors").count()
     # chunk ids are 0-based (packing.py: start_offset div budget), so
     # the COUNT is max+1 — counting distinct ids also holds when the

@@ -108,3 +108,85 @@ def test_curate_job_cli_end_to_end(spark, tmp_path):
         )
     res2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert res2["survivors"] == 0
+
+
+def _dir_state(root, stage):
+    """(filename, mtime_ns, size) of a stage's parquet dir — unchanged
+    state proves the stage was NOT re-executed."""
+    import os
+
+    d = os.path.join(root, stage)
+    return sorted(
+        (f, os.stat(os.path.join(d, f)).st_mtime_ns, os.stat(os.path.join(d, f)).st_size)
+        for f in os.listdir(d)
+    )
+
+
+def test_curate_kill_resume(spark, corpus, tmp_path):
+    """North-rule resumability for the curation funnel: kill after the
+    dedup stage, re-run with the same run_id → the completed stages are
+    loaded (their files untouched), only the missing stages execute,
+    and the final output equals an uninterrupted run."""
+    from insurance_pdf_extractor_spark.plans.curation import run_curate_job
+
+    kw = dict(min_tokens=8, min_quality=0.1, min_jaccard=0.5)
+    out = str(tmp_path / "resumed")
+
+    r1 = run_curate_job(corpus, out, "run-a", _stop_after="near_dedup", **kw)
+    assert r1["stages_run"] == ["quality", "exact_dedup", "near_dedup"]
+    assert not (tmp_path / "resumed" / "survivors").exists()
+    before = {s: _dir_state(out, s) for s in r1["stages_run"]}
+
+    r2 = run_curate_job(corpus, out, "run-a", **kw)
+    assert r2["stages_skipped"] == ["quality", "exact_dedup", "near_dedup"]
+    assert r2["stages_run"] == ["survivors", "packing"]
+    # only missing work re-executed: completed stage files untouched
+    assert {s: _dir_state(out, s) for s in r2["stages_skipped"]} == before
+
+    # resumed output == uninterrupted run
+    clean = str(tmp_path / "clean")
+    r3 = run_curate_job(corpus, clean, "run-b", **kw)
+    assert r3["stages_run"] == list(r1["stages_run"]) + list(r2["stages_run"])
+
+    def rows(root, name):
+        return {tuple(r) for r in spark.read.parquet(f"{root}/{name}").collect()}
+
+    assert rows(out, "survivors") == rows(clean, "survivors")
+    assert rows(out, "packing") == rows(clean, "packing")
+
+    # fully-checkpointed run: nothing to do
+    r4 = run_curate_job(corpus, out, "run-a", **kw)
+    assert r4["stages_run"] == [] and len(r4["stages_skipped"]) == 5
+
+
+def test_curate_job_cli_resumable(spark, tmp_path):
+    """--run-id through the CLI surface: second invocation skips all
+    five stages."""
+    import contextlib
+    import io
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs import curate
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "cli")
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            curate.main(
+                ["--input", src, "--output", out_dir, "--run-id", "cli-1", "--skip-funnel"]
+            )
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    first = run()
+    assert first["stages_run"] == list(
+        ("quality", "exact_dedup", "near_dedup", "survivors", "packing")
+    )
+    assert first["survivors"] > 0
+    second = run()
+    assert second["stages_run"] == [] and len(second["stages_skipped"]) == 5
+    assert second["survivors"] == first["survivors"]
