@@ -2395,9 +2395,14 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 @register("media_features", _fx("media_features"))
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: documents' bytes as opaque media payloads →
-    mapInPandas feature extraction (deterministic fake decoder)."""
-    from .operators.multimodal import extract_media_features
+    """Multimodal decode: three src branches through one mapInPandas
+    feature extractor — the deterministic fake decoder (byte histogram,
+    opaque mime), REAL uncompressed-BMP image decode, and REAL PCM-WAV
+    audio decode (multimodal.py codec-free codecs). The BMP/WAV payloads
+    are encoded on-executor from an arithmetic per-doc_id spec the
+    fixture oracle reproduces independently — sha1 therefore also pins
+    the ENCODERS byte-for-byte, not just the decoded features."""
+    from .operators.multimodal import extract_media_features, synth_media_assets
 
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     assets = d.select(
@@ -2405,11 +2410,14 @@ def q_media_features(spark, sf_dir):
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.lit(64).alias("width"),
-        F.lit(64).alias("height"),
-        F.lit(0).cast("long").alias("duration_ms"),
     )
-    feats = extract_media_features(assets)
+    real_docs = d.filter(F.col("doc_id") < 60)
+    real_assets = synth_media_assets(real_docs, "bmp").unionByName(
+        synth_media_assets(real_docs, "wav")
+    )
+    feats = extract_media_features(assets).unionByName(
+        extract_media_features(real_assets, use_fake=False)
+    )
     # fixed-format serialization of the float vector ("%.6f" is printf
     # semantics on both JVM and any reimplementation) — scalar columns
     # only, so the driver canonicalizer can sort/hash the frame

@@ -93,7 +93,9 @@ def test_multimodal_features_and_frames(spark):
     assert [(r["media_ref"], r["frame_ts"]) for r in frames] == [("m2", 0), ("m2", 1000), ("m2", 2000)]
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_codec_formats_stay_stubbed():
+    """Formats that need PIL/ffmpeg remain an explicit seam; codec-free
+    BMP/WAV decode for real (tests/test_multimodal_decode.py)."""
     import pytest as _pytest
 
     from insurance_pdf_extractor_spark.operators.multimodal import decode_media
@@ -145,6 +147,42 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert "c1" not in got  # cross-batch duplicate suppressed by state
     # exactly one keeper for the hello-world fingerprint
     assert len(got & {"a1", "a2"}) == 1
+
+
+def test_bloom_ingest_dedup_reuses_bitmaps_across_batches(spark, tmp_path):
+    """foreachBatch ingest with prebuilt sharded Bloom bitmaps: history
+    is scanned ONCE at stream start; both micro-batch files are filtered
+    against the same bitmaps (history dups dropped, in-batch dups kept —
+    history_filter's contract), and output equals the plain anti-join."""
+    from insurance_pdf_extractor_spark.streaming.stream import start_bloom_ingest_dedup
+
+    schema = "doc_id string, text string"
+    history = spark.createDataFrame(
+        [("h1", "hello world"), ("h2", "accepted doc body")], schema
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two files => two availableNow micro-batches through ONE bitmap build
+    spark.createDataFrame(
+        [("a1", "HELLO   world"), ("a2", "fresh one")], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(
+        [("b1", "accepted DOC body"), ("b2", "fresh two"), ("b3", "fresh two")], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    q = start_bloom_ingest_dedup(
+        spark,
+        str(in_dir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        history,
+        n_shards=4,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out" / "accepted")).collect()}
+    # a1/b1 are history dups; b2+b3 BOTH pass (in-batch dedup is a
+    # downstream stage's job)
+    assert got == {"a2", "b2", "b3"}
 
 
 def test_streaming_ingest_dedup_vs_static_history(spark, tmp_path):

@@ -22,9 +22,12 @@ Regenerate whenever render/boilerplate/hash semantics change.
 from __future__ import annotations
 
 import hashlib
+import io
 import math
 import re
+import struct
 import sys
+import wave
 from decimal import ROUND_HALF_UP, Decimal
 from pathlib import Path
 
@@ -389,8 +392,79 @@ def fx_dedup_clusters(docs) -> pa.Table:
     )
 
 
+def _fx_bmp_bytes(doc_id: int, h: int = 16, w: int = 16) -> bytes:
+    """Independent 24-bit BMP encoder (pure struct/bytes, no shared code
+    with multimodal.py): pixel (y,x,c) = (doc_id*31+y*7+x*13+c*59)%256,
+    bottom-up rows, BGR order, 4-byte row padding."""
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            for c in (2, 1, 0):  # BGR
+                row.append((doc_id * 31 + y * 7 + x * 13 + c * 59) % 256)
+        row.extend(b"\x00" * (stride - len(row)))
+        rows.extend(row)
+    head = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+    return head + info + bytes(rows)
+
+
+def _fx_bmp_features(doc_id: int, h: int = 16, w: int = 16) -> list[float]:
+    """Feature spec mirror: channel mean = (int sum / (h*w)) / 255;
+    4x4 thumb gray = ((block rgb-sum / npix) / 3) / 255 — same division
+    order as multimodal.bmp_features so float64 results are bit-equal."""
+    px = lambda y, x, c: (doc_id * 31 + y * 7 + x * 13 + c * 59) % 256
+    out = []
+    for c in range(3):
+        s = sum(px(y, x, c) for y in range(h) for x in range(w))
+        out.append((s / float(h * w)) / 255.0)
+    bh, bw = h // 4, w // 4
+    for by in range(4):
+        for bx in range(4):
+            s = sum(
+                px(y, x, c)
+                for y in range(by * bh, (by + 1) * bh)
+                for x in range(bx * bw, (bx + 1) * bw)
+                for c in range(3)
+            )
+            out.append(((s / float(bh * bw)) / 3.0) / 255.0)
+    return out
+
+
+def _fx_wav_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
+    """Independent PCM16 WAV: samples (doc_id*40503+i*2654435761)%65536
+    - 32768, packed little-endian via the stdlib wave module."""
+    samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def _fx_wav_features(doc_id: int, n: int = 1600, rate: int = 8000) -> list[float]:
+    samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    rms = math.sqrt(sum(s * s for s in samples) / n) / 32768.0
+    zc = sum((samples[i] >= 0) != (samples[i + 1] >= 0) for i in range(n - 1))
+    zcr = zc / (n - 1)
+    seg = []
+    for s in range(8):
+        lo, hi = s * n // 8, (s + 1) * n // 8
+        seg.append(sum(abs(v) for v in samples[lo:hi]) / (hi - lo) / 32768.0)
+    return [n / rate, rms, zcr, *seg]
+
+
 def fx_media_features(docs) -> pa.Table:
     refs, kinds, nb, shas, feats = [], [], [], [], []
+
+    def fmt(vec: list[float]) -> str:
+        # mirror the gate's array<float> passage: float64 -> float32 ->
+        # double -> JVM %.6f
+        return ",".join(javafmt6(float(np.float32(v))) for v in vec)
+
     for doc_id, text in docs:
         if doc_id >= 100:
             continue
@@ -407,6 +481,19 @@ def fx_media_features(docs) -> pa.Table:
         else:
             vec = [0.0] * 16
         feats.append(",".join(javafmt6(float(v)) for v in vec))
+        if doc_id < 60:
+            b = _fx_bmp_bytes(doc_id)
+            refs.append(f"bmp-{doc_id}")
+            kinds.append("image")
+            nb.append(len(b))
+            shas.append(hashlib.sha1(b).hexdigest())
+            feats.append(fmt(_fx_bmp_features(doc_id)))
+            wv = _fx_wav_bytes(doc_id)
+            refs.append(f"wav-{doc_id}")
+            kinds.append("audio")
+            nb.append(len(wv))
+            shas.append(hashlib.sha1(wv).hexdigest())
+            feats.append(fmt(_fx_wav_features(doc_id)))
     return pa.table(
         {
             "media_ref": pa.array(refs, pa.string()),
