@@ -126,6 +126,48 @@ def streaming_sessions(
     )
 
 
+def start_bloom_ingest_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    history: DataFrame,
+    schema: str = "doc_id string, text string",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    n_shards: int = 1,
+):
+    """foreachBatch ingest dedup with the Bloom bitmaps built ONCE at
+    stream start and reused by every micro-batch — the long-lived-caller
+    pattern history_filter's ``bitmaps`` parameter exists for. Per
+    micro-batch cost is one Arrow pandas_udf probe of the (broadcast)
+    bitmaps plus an exact confirm anti-join for bloom-positives only;
+    the history table is scanned once at start, never per batch. At
+    10^12 accepted docs, pass a bucketed fingerprint table as
+    ``history`` upstream and raise ``n_shards`` so total filter capacity
+    (n_shards x n_bits) tracks history cardinality (see
+    dedup.bloom_bitmaps)."""
+    from ..operators.dedup import bloom_bitmaps, history_fingerprints, history_filter
+
+    hist_fp = history_fingerprints(history).localCheckpoint()
+    bitmaps = bloom_bitmaps(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = history_filter(
+            batch_df, hist_fp=hist_fp, bitmaps=bitmaps,
+            n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards,
+        )
+        kept.write.mode("append").parquet(f"{output_dir}/accepted")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_ingest_dedup(stream_df: DataFrame, history: DataFrame) -> DataFrame:
     """Stream-static anti-join: drop streamed documents whose
     normalized-text fingerprint already exists in the STATIC
