@@ -73,17 +73,19 @@ def measured_run(cores: int) -> None:
         "overwrite"
     ).save()
 
-    # best-of-N (SCALING_BEST_OF, default 2): single-machine wall times
+    # best-of-N (SCALING_BEST_OF, default 4): single-machine wall times
     # vary wildly run-to-run — identical code measured 15.9k-36.3k
     # docs/s at 16 cores within one hour on 2026-08-18 (hypervisor
     # tenancy; guest loadavg and /proc/stat steal both read ~0, so the
     # contention is invisible from inside). min is the capacity
-    # estimator; raise BEST_OF when the box is noisy. The DataFrame is
+    # estimator. 4 is the default (r3 verdict: best-of-2 readings
+    # straddled host phases and under-read by up to 20%; don't make
+    # the gate depend on remembering the knob). The DataFrame is
     # constructed once — plan construction is serial driver work a
     # long-lived cluster job pays once.
     job = extract_results(render_documents_raw(docs))
     wall = float("inf")
-    for _ in range(int(os.environ.get("SCALING_BEST_OF", "2"))):
+    for _ in range(int(os.environ.get("SCALING_BEST_OF", "4"))):
         t0 = time.perf_counter()
         job.write.format("noop").mode("overwrite").save()
         wall = min(wall, time.perf_counter() - t0)
@@ -115,9 +117,14 @@ def orchestrate() -> None:
     (see BENCH.md 2026-08-18 forensics: identical code read
     21.2k-32.9k docs/s at 16 cores within an hour), a pair straddling
     a phase boundary mis-measures scaling in either direction —
-    SCALING_PAIRS=K runs K back-to-back (N, 4N) pairs and reports the
-    best PAIR (both legs from the same window), the fair estimator
-    under phase noise. Default 1 pair = the historical protocol."""
+    SCALING_PAIRS=K runs K back-to-back (N, 4N) pairs; each pair's
+    legs come from the same window. The headline `efficiency` (and the
+    pass verdict) is the MEDIAN pair — gating on the max would let a
+    single lucky pair pass the >=0.8 target (one-sided under host
+    noise, the r3 advice finding); the max is still reported as
+    `best_efficiency` and every pair as `all_pair_efficiencies` for
+    forensics. Default 1 pair = the historical protocol (median of
+    one == that pair)."""
     pairs = int(os.environ.get("SCALING_PAIRS", "1"))
     attempts = []
     for _ in range(pairs):
@@ -125,7 +132,11 @@ def orchestrate() -> None:
         eff = round((results[4 * N]["docs_per_sec"] / results[N]["docs_per_sec"]) / 4, 3)
         attempts.append((eff, results))
         print(f"pair efficiency: {eff}", file=sys.stderr)
-    eff, results = max(attempts, key=lambda t: t[0])
+    effs = sorted(e for e, _ in attempts)
+    median_eff = round(
+        (effs[len(effs) // 2] + effs[(len(effs) - 1) // 2]) / 2, 3
+    )
+    best_eff, results = max(attempts, key=lambda t: t[0])
     summary = {
         "metric": "extraction throughput scaling efficiency N->4N cores",
         "sf_dir": SF_DIR,
@@ -133,9 +144,10 @@ def orchestrate() -> None:
         "partitions": PARTITIONS,
         "n_cores": N,
         "runs": results,
-        "efficiency": eff,
+        "efficiency": median_eff,
+        "best_efficiency": best_eff,
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": median_eff >= 0.8,
         "pairs_attempted": pairs,
         "all_pair_efficiencies": [e for e, _ in attempts],
     }
