@@ -126,8 +126,18 @@ def orchestrate() -> None:
     forensics. Default 1 pair = the historical protocol (median of
     one == that pair)."""
     pairs = int(os.environ.get("SCALING_PAIRS", "1"))
+    # SCALING_COOLDOWN seconds of idle between pairs (default 60 when
+    # running multiple pairs): the first 3-pair median run measured
+    # monotone pair degradation 0.858 -> 0.793 -> 0.687 with the 4-core
+    # legs speeding UP (fastest 4-core readings ever) while the 16-core
+    # legs slowed — back-to-back pairs ride the thermal/tenancy wake of
+    # the previous 16-core leg. An idle gap lets each pair sample the
+    # box's steady state instead of its own exhaust.
+    cooldown = int(os.environ.get("SCALING_COOLDOWN", "60" if pairs > 1 else "0"))
     attempts = []
-    for _ in range(pairs):
+    for i in range(pairs):
+        if i and cooldown:
+            time.sleep(cooldown)
         results = {cores: _leg(cores) for cores in (N, 4 * N)}
         eff = round((results[4 * N]["docs_per_sec"] / results[N]["docs_per_sec"]) / 4, 3)
         attempts.append((eff, results))
