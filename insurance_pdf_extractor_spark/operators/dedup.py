@@ -860,18 +860,51 @@ def bloom_fill_fractions(bitmaps: np.ndarray) -> np.ndarray:
     return ones / (b2.shape[1] * 64)
 
 
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+def auto_bloom_params(
+    hist_fp: DataFrame,
+    key_col: str = "__bk",
+    bits_per_key: int = 10,
+    min_bits: int = 1 << 16,
+    max_bits_per_shard: int = 1 << 27,
+) -> tuple[int, int]:
+    """Size the sharded Bloom filter FROM THE HISTORY ITSELF: one
+    ``approx_count_distinct`` over the slim fingerprint frame (HLL++,
+    map-side partials, ~5% rsd — never touches text), then total bits =
+    next power of two >= keys x ``bits_per_key`` (~10 bits/key with 5
+    hashes ≈ 1% fpp; the pow2 ceiling only adds headroom, and even a 5%
+    HLL under-read leaves fill ≈ 0.41 < the 0.5 saturation warning).
+    The total splits into fingerprint-range shards of at most
+    ``max_bits_per_shard`` (default 2^27 = 16 MiB/shard broadcast +
+    bounded per-task build memory), so a 10^12-key history auto-sizes
+    to ~10 Tbit across ~75k shards instead of saturating a fixed-width
+    bitmap — the r3/r4 advice's silent-degradation mode. Returns
+    (n_bits_per_shard, n_shards), both powers of two; callers override
+    either knob explicitly when they want a specific shape."""
+    n_keys = hist_fp.agg(F.approx_count_distinct(key_col).alias("n")).collect()[0]["n"]
+    total = _pow2_ceil(max(int(n_keys) * bits_per_key, min_bits))
+    n_shards = max(1, total // max_bits_per_shard)
+    return total // n_shards, n_shards
+
+
 def bloom_bitmap(df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.ndarray:
     """Single-shard convenience wrapper over :func:`bloom_bitmaps`
     (returns the flat 1-D bitmap the original API exposed)."""
     return bloom_bitmaps(df, key_col, n_bits=n_bits, n_hashes=n_hashes, n_shards=1)[0]
 
 
-def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes: int):
+def bloom_contains_udf(
+    df: DataFrame, bitmap: np.ndarray, n_bits: int | None = None, n_hashes: int = 5
+):
     """Vectorized membership test against broadcast Bloom bitmap(s)
     (numpy gather + shift per Arrow batch, no per-row Python). Accepts
     the flat 1-D single bitmap or the (n_shards, n_words) sharded array
     from :func:`bloom_bitmaps`; for the sharded form each key probes
-    only ITS fingerprint-range shard.
+    only ITS fingerprint-range shard. ``n_bits`` is derivable from the
+    array shape (n_words x 64) — pass it only as a cross-check.
 
     The Spark broadcast stays pinned for the session unless released:
     the handle is exposed as ``might_contain.broadcast`` so long-lived
@@ -880,6 +913,10 @@ def bloom_contains_udf(df: DataFrame, bitmap: np.ndarray, n_bits: int, n_hashes:
     one-shot batch jobs can ignore it."""
     b2 = np.atleast_2d(bitmap)
     n_shards, n_words = b2.shape
+    if n_bits is None:
+        n_bits = n_words << 6
+    elif n_bits != n_words << 6:
+        raise ValueError(f"n_bits={n_bits} inconsistent with bitmap shape ({n_words << 6})")
     bc = df.sparkSession.sparkContext.broadcast(b2.tobytes())
 
     @F.pandas_udf("boolean")
@@ -943,9 +980,9 @@ def incremental_dedup(
     history: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 5,
-    n_shards: int = 1,
+    n_shards: int | None = None,
     hist_fp: DataFrame | None = None,
     bitmaps: np.ndarray | None = None,
 ) -> DataFrame:
@@ -969,6 +1006,11 @@ def incremental_dedup(
     history per call; the result is invariant to all three knobs.
     ``history`` (raw text) remains the convenience path and is ignored
     when ``hist_fp`` is given.
+
+    ``n_bits``/``n_shards`` left at None auto-size from the history
+    cardinality (:func:`auto_bloom_params`, ~10 bits/key) — the r4
+    advice's fix for the fixed 2^20 default that silently saturated on
+    any real history. Explicit values win.
     """
     if hist_fp is None:
         if history is None:
@@ -987,10 +1029,13 @@ def incremental_dedup(
         )
     )
     if bitmaps is None:
+        if n_bits is None or n_shards is None:
+            auto_bits, auto_shards = auto_bloom_params(hist_fp)
+            n_bits, n_shards = n_bits or auto_bits, n_shards or auto_shards
         bitmaps = bloom_bitmaps(
             hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards
         )
-    maybe = bloom_contains_udf(batch, bitmaps, n_bits, n_hashes)
+    maybe = bloom_contains_udf(batch, bitmaps, n_hashes=n_hashes)
     # Materialize the flagged frame ONCE: both union branches consume
     # it, and exchange reuse would cache only the shuffle — the groupBy
     # finalization + the Arrow bloom probe would otherwise run twice
@@ -1009,9 +1054,9 @@ def history_filter(
     history: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 5,
-    n_shards: int = 1,
+    n_shards: int | None = None,
     hist_fp: DataFrame | None = None,
     bitmaps: np.ndarray | None = None,
 ) -> DataFrame:
@@ -1026,17 +1071,22 @@ def history_filter(
     Rows with null text are dropped (no fingerprint). Scale knobs
     identical to :func:`incremental_dedup`: ``hist_fp`` (bucketed
     fingerprint table → shuffle-free confirm), ``n_shards`` (sharded
-    bitmaps), ``bitmaps`` (prebuilt, reused across micro-batches)."""
+    bitmaps), ``bitmaps`` (prebuilt, reused across micro-batches),
+    and None ``n_bits``/``n_shards`` auto-size from history cardinality
+    (:func:`auto_bloom_params`)."""
     if hist_fp is None:
         if history is None:
             raise ValueError("history_filter needs history or hist_fp")
         hist_fp = history_fingerprints(history, text_col)
     norm = normalize_text_expr(F.col(text_col))
     if bitmaps is None:
+        if n_bits is None or n_shards is None:
+            auto_bits, auto_shards = auto_bloom_params(hist_fp)
+            n_bits, n_shards = n_bits or auto_bits, n_shards or auto_shards
         bitmaps = bloom_bitmaps(
             hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards
         )
-    maybe = bloom_contains_udf(batch, bitmaps, n_bits, n_hashes)
+    maybe = bloom_contains_udf(batch, bitmaps, n_hashes=n_hashes)
     tagged = (
         batch.filter(F.col(text_col).isNotNull())
         .withColumn("__fp", F.md5(norm))

@@ -1007,8 +1007,6 @@ def q_text_quality(spark, sf_dir):
     """,
 )
 def q_incremental_dedup(spark, sf_dir):
-    import uuid
-
     d = _load(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") % 3 == 0)
     echo = d.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -1022,9 +1020,12 @@ def q_incremental_dedup(spark, sf_dir):
     # bitmaps (n_shards=4). Small per-shard bitmaps (16 Kbit) so the
     # fpp path is plausibly exercised at gate scale; correctness is
     # fpp/shard-invariant by construction (tests pin {1,2,8} shards).
-    name = "gate_hist_fp_" + uuid.uuid4().hex[:8]
+    # Fixed table name + overwrite (r4 verdict hygiene note): repeated
+    # in-process verify sweeps replace the one catalog entry instead of
+    # accumulating gate_hist_fp_<uuid> tables.
+    name = "gate_hist_fp"
     dedup.write_fingerprint_table(
-        history, name, _gate_tmpdir("hist_fp_"), n_buckets=8, n_shards=4
+        history, name, _gate_tmpdir("hist_fp_"), n_buckets=8, n_shards=4, mode="overwrite"
     )
     return dedup.incremental_dedup(
         batch, hist_fp=spark.table(name), n_bits=1 << 14, n_shards=4

@@ -133,30 +133,38 @@ def start_bloom_ingest_dedup(
     checkpoint_dir: str,
     history: DataFrame,
     schema: str = "doc_id string, text string",
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 5,
-    n_shards: int = 1,
+    n_shards: int | None = None,
 ):
     """foreachBatch ingest dedup with the Bloom bitmaps built ONCE at
     stream start and reused by every micro-batch — the long-lived-caller
     pattern history_filter's ``bitmaps`` parameter exists for. Per
     micro-batch cost is one Arrow pandas_udf probe of the (broadcast)
     bitmaps plus an exact confirm anti-join for bloom-positives only;
-    the history table is scanned once at start, never per batch. At
-    10^12 accepted docs, pass a bucketed fingerprint table as
-    ``history`` upstream and raise ``n_shards`` so total filter capacity
-    (n_shards x n_bits) tracks history cardinality (see
-    dedup.bloom_bitmaps)."""
-    from ..operators.dedup import bloom_bitmaps, history_fingerprints, history_filter
+    the history table is scanned once at start, never per batch.
+    ``n_bits``/``n_shards`` left at None auto-size from the history
+    cardinality (dedup.auto_bloom_params, ~10 bits/key, shards capped
+    at 16 MiB each) — at 10^12 accepted docs, pass a bucketed
+    fingerprint table as ``history`` upstream and the capacity
+    (n_shards x n_bits) tracks it automatically."""
+    from ..operators.dedup import (
+        auto_bloom_params,
+        bloom_bitmaps,
+        history_fingerprints,
+        history_filter,
+    )
 
     hist_fp = history_fingerprints(history).localCheckpoint()
+    if n_bits is None or n_shards is None:
+        auto_bits, auto_shards = auto_bloom_params(hist_fp)
+        n_bits, n_shards = n_bits or auto_bits, n_shards or auto_shards
     bitmaps = bloom_bitmaps(hist_fp, "__bk", n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         kept = history_filter(
-            batch_df, hist_fp=hist_fp, bitmaps=bitmaps,
-            n_bits=n_bits, n_hashes=n_hashes, n_shards=n_shards,
+            batch_df, hist_fp=hist_fp, bitmaps=bitmaps, n_hashes=n_hashes,
         )
         kept.write.mode("append").parquet(f"{output_dir}/accepted")
 

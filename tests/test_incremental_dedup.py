@@ -518,3 +518,60 @@ def test_bucketed_fingerprint_table_confirm(spark, corpus, tmp_path):
         assert "FileScan" in hist_child and "Exchange" not in hist_child
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_auto_bloom_params_sizes_from_history(spark):
+    """Verdict r4 #5: n_bits/n_shards derive from one
+    approx_count_distinct over the slim fingerprint frame — ~10
+    bits/key rounded up to a power of two, floored at min_bits, split
+    into <= max_bits_per_shard shards with total capacity preserved."""
+    few = spark.range(3).select(F.xxhash64("id").alias("__bk"))
+    assert dedup.auto_bloom_params(few) == (1 << 16, 1)  # min_bits floor
+    many = spark.range(20_000).select(F.xxhash64("id").alias("__bk"))
+    n_bits, n_shards = dedup.auto_bloom_params(many)
+    assert n_shards == 1 and n_bits & (n_bits - 1) == 0
+    # 20k keys x 10 bits = 200k -> 2^18; one pow2 step of HLL slack
+    assert n_bits in (1 << 17, 1 << 18, 1 << 19)
+    n_bits2, n_shards2 = dedup.auto_bloom_params(many, max_bits_per_shard=1 << 14)
+    assert n_bits2 == 1 << 14
+    assert n_bits2 * n_shards2 == n_bits * n_shards  # same HLL read, same total
+
+
+def test_incremental_dedup_auto_sizing_matches_manual(spark, corpus):
+    """Auto-sized defaults ≡ explicit manual knobs ≡ the no-bloom
+    reference, and the auto-sized path never fires the saturation
+    warning (the r3/r4 silent-degradation finding)."""
+    import warnings
+
+    history = corpus.filter(F.col("doc_id") < 10)
+    batch = corpus.filter(F.col("doc_id") >= 20)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = _as_set(dedup.incremental_dedup(batch, history))
+    assert not [w for w in caught if "saturated" in str(w.message)]
+    manual = _as_set(dedup.incremental_dedup(batch, history, n_bits=1 << 20, n_shards=1))
+    assert auto == manual == _as_set(_reference(batch, history))
+
+
+def test_history_filter_auto_sizing_matches_manual(spark, corpus):
+    history = corpus.filter(F.col("doc_id") < 10)
+    batch = corpus.filter(F.col("doc_id") >= 20)
+    auto = {r.doc_id for r in dedup.history_filter(batch, history).collect()}
+    manual = {
+        r.doc_id
+        for r in dedup.history_filter(batch, history, n_bits=1 << 20, n_shards=1).collect()
+    }
+    assert auto == manual
+
+
+def test_gate_hist_fp_table_does_not_accumulate(spark):
+    """Verdict r4 #6: the incremental_dedup driver gate registers ONE
+    fixed-name metastore table and overwrites it — two in-process runs
+    leave exactly one gate table in the catalog."""
+    from insurance_pdf_extractor_spark.queries import Q
+
+    q = Q["incremental_dedup"]
+    for _ in range(2):
+        assert q(spark, "/root/testdata/sf0.001").count() > 0
+    gates = [t.name for t in spark.catalog.listTables() if t.name.startswith("gate_hist_fp")]
+    assert gates == ["gate_hist_fp"]
