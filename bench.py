@@ -58,19 +58,82 @@ def _dedup_headliners(spark, sf_dir):
     """minhash_lsh_pairs keeps its r1/r2 name by timing the pure
     within-corpus operator (the gate is now a src-tagged union with the
     cross-batch half); incremental_near_dup times the cross-batch path
-    alone."""
+    alone.
+
+    The *_probe entries (r4 verdict #2: decompose the gate timing)
+    time ONLY the per-ingest-batch cost — the history artifacts
+    (bucketed fingerprint table + Bloom bitmaps; bucketed band table)
+    are built once OUTSIDE the timed window, exactly as a long-lived
+    ingest loop amortizes them once per corpus epoch. The plain
+    incremental_dedup HEADLINE entry keeps timing the full gate
+    (materialize + probe) for cross-round comparability."""
+    import tempfile
+
     from pyspark.sql import functions as F2
 
     from insurance_pdf_extractor_spark.operators import dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = d.filter(F2.col("doc_id") % 3 == 0)
+    batch = d.filter(F2.col("doc_id") % 2 == 0)
+
+    tmp = tempfile.mkdtemp(prefix="bench_hist_")
+    dedup.write_fingerprint_table(
+        history, "bench_hist_fp", f"{tmp}/fp", n_buckets=8, n_shards=4, mode="overwrite"
+    )
+    hist_fp = spark.table("bench_hist_fp")
+    bitmaps = dedup.bloom_bitmaps(hist_fp, "__bk", n_bits=1 << 14, n_shards=4)
+    dedup.write_band_table(
+        history, "bench_hist_bands", f"{tmp}/bands", n_buckets=8, mode="overwrite"
+    )
+    hist_bands = spark.table("bench_hist_bands")
+
     return {
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(d, min_jaccard=0.2),
         "incremental_near_dup": lambda: dedup.incremental_near_dup_pairs(
-            d.filter(F2.col("doc_id") % 2 == 0),
-            d.filter(F2.col("doc_id") % 3 == 0),
-            min_jaccard=0.2,
+            batch, history, min_jaccard=0.2
         ),
+        "incremental_near_dup_probe": lambda: dedup.incremental_near_dup_pairs(
+            batch, history, min_jaccard=0.2, hist_bands=hist_bands
+        ),
+        "incremental_dedup_probe": lambda: dedup.incremental_dedup(
+            batch, hist_fp=hist_fp, bitmaps=bitmaps
+        ),
+    }
+
+
+def _bpe_headliners(spark, sf_dir):
+    """Real-vocab BPE kernel cost (r4 verdict #4), two regimes:
+
+    - bpe_count_corpus: the sf documents table. Its vocabulary is 31
+      distinct words over ~270k occurrences at sf0.1, so this is the
+      cache-HIT regime — it measures Arrow plumbing, not encode cost.
+    - bpe_count_high_vocab: a deterministic synthetic corpus sampled
+      from the 30k-word Zipf vocabulary (2,000 docs x 128 words) —
+      the cache-MISS regime, measuring the per-distinct-word encode
+      cost a real vocabulary pays.
+
+    The 12k-merge production table is trained and broadcast ONCE
+    outside the timed window — a long-lived job's amortized cost."""
+    import random
+
+    from insurance_pdf_extractor_spark.operators import bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    udf = bpe.bpe_token_count_udf(bpe.production_merges(), sc=spark.sparkContext)
+    vocab = ["".join(w) for w in bpe.synthetic_word_freqs()]
+    rng = random.Random(29)
+    hv = (
+        spark.createDataFrame(
+            [(i, " ".join(rng.choice(vocab) for _ in range(128))) for i in range(2000)],
+            "doc_id long, text string",
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .localCheckpoint()  # generation + upload excluded from the timed window
+    )
+    return {
+        "bpe_count_corpus": lambda: d.select(udf(F.col("text")).alias("n")),
+        "bpe_count_high_vocab": lambda: hv.select(udf(F.col("text")).alias("n")),
     }
 
 
@@ -194,7 +257,7 @@ def main() -> None:
         _run(fn(spark, sf_dir))
         timings[name] = round(_best_of(lambda: fn(spark, sf_dir)), 3)
 
-    for helper in (_dedup_headliners, _ann_headliners):
+    for helper in (_dedup_headliners, _ann_headliners, _bpe_headliners):
         for name, mk in helper(spark, sf_dir).items():
             _run(mk())
             timings[name] = round(_best_of(mk), 3)

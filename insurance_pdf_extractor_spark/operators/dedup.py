@@ -232,6 +232,49 @@ def minhash_lsh_pairs(
     )
 
 
+def write_band_table(
+    history: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the history LSH band table the near-dup half of
+    continuous ingestion probes — the :func:`write_fingerprint_table`
+    discipline applied to :func:`incremental_near_dup_pairs`: band rows
+    are a pure function of history text, so at 10^12 docs they are
+    computed ONCE per corpus epoch and stored BUCKETED by
+    (band, band_key), the candidate join's keys, so every subsequent
+    ingest batch's probe reads the history side with ZERO exchange —
+    only the batch's slim (id, band, band_key) rows shuffle to the
+    bucket layout. ``mode='append'`` is the per-ingest update: append
+    the accepted batch's band rows after its quality gates pass.
+
+    The table stores (hist_id, band, band_key); re-derive nothing at
+    probe time. Use the SAME (n_hashes, bands, shingle_k) when probing
+    — a mismatched banding scheme silently finds nothing.
+
+    Reference anchor: continuous-ingest generalization of the storage
+    dedup discipline (/root/reference/app/services/storage.py:167-306).
+    """
+    hb = band_rows(history, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
+        "id", "hist_id"
+    )
+    (
+        hb.write.mode(mode)
+        .option("path", path)
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .saveAsTable(table_name)
+    )
+
+
 def incremental_near_dup_pairs(
     batch: DataFrame,
     history: DataFrame,
@@ -241,6 +284,7 @@ def incremental_near_dup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     min_jaccard: float = 0.7,
+    hist_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN a new ingest batch and the
     already-accepted history — the near-dup half of continuous
@@ -249,19 +293,29 @@ def incremental_near_dup_pairs(
 
     Scale shape: history band rows are a pure function of history text,
     so at 10^12 docs they are computed ONCE per corpus and stored
-    BUCKETED by (band, band_key); the candidate join then shuffles only
-    the batch's slim (id, band, band_key) rows against the bucketed
-    table. Verification joins wordsets back for candidates only, each
-    side keyed by its own id. Unlike the within-corpus path there is no
-    id_a < id_b constraint — the sides are distinct tables (a doc
-    present in both yields its own (id, id) pair, which is exactly the
-    "already accepted" signal).
+    BUCKETED by (band, band_key) via :func:`write_band_table`; pass
+    that table as ``hist_bands`` and the candidate join shuffles only
+    the batch's slim (id, band, band_key) rows against it — the
+    history side is read exchange-free, and micro-batch loops reuse
+    one table across calls instead of re-banding history text per
+    batch (the ``hist_fp``/``bitmaps`` pattern of
+    :func:`incremental_dedup`). Without ``hist_bands`` the band rows
+    are derived live from ``history`` — the convenience path.
+    ``history`` text is still required either way: exact-Jaccard
+    verification joins wordsets back for candidates only. Unlike the
+    within-corpus path there is no id_a < id_b constraint — the sides
+    are distinct tables (a doc present in both yields its own (id, id)
+    pair, which is exactly the "already accepted" signal).
     """
     bb = band_rows(batch, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
         "id", "batch_id"
     )
-    hb = band_rows(history, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
-        "id", "hist_id"
+    hb = (
+        hist_bands.select("hist_id", "band", "band_key")
+        if hist_bands is not None
+        else band_rows(history, text_col, id_col, n_hashes, bands, shingle_k).withColumnRenamed(
+            "id", "hist_id"
+        )
     )
     cand = (
         bb.join(hb, ["band", "band_key"])

@@ -2,13 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
-Decode is REAL for the codec-free formats this container can handle —
-uncompressed 24-bit BMP (struct/numpy), PCM WAV (stdlib ``wave``), and
-a raw concatenated-frame video container (``RAWV``) — and remains an
-explicit ``NotImplementedError`` seam for formats that need PIL/ffmpeg
-(JPEG/PNG/MP3/MP4). The Spark-side plumbing — schema, batch shape,
-partitioning, UDF signatures — is identical either way, so wiring a
-real codec in is a per-format dispatch entry, not a redesign.
+Decode is REAL for the formats this container can handle without
+PIL/ffmpeg — uncompressed 24-bit BMP (struct/numpy), 8-bit truecolor
+PNG (stdlib ``zlib`` inflate + all five scanline filters), PCM WAV
+(stdlib ``wave``), and a raw concatenated-frame video container
+(``RAWV``) — and remains an explicit ``NotImplementedError`` seam for
+formats that need entropy/DCT codecs (JPEG/MP3/MP4). The Spark-side
+plumbing — schema, batch shape, partitioning, UDF signatures — is
+identical either way, so wiring a real codec in is a per-format
+dispatch entry, not a redesign.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -91,6 +94,115 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return img if top_down else img[::-1]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib stream, fixed compression level so
+    the independent fixture encoder produces byte-identical files from
+    the same stdlib zlib)."""
+    h, w, _ = img.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type None
+        raw.extend(img[y].tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced truecolor PNG (color type 2, or
+    6 with the alpha channel dropped) to (h, w, 3) uint8 RGB — a real
+    decoder over stdlib zlib: chunk walk with CRC verification,
+    multi-IDAT concatenation, and ALL FIVE scanline filters (None/Sub/
+    Up/Average/Paeth; Sub and Up vectorize as per-lane mod-256 cumsum
+    and uint8 wraparound adds, Average/Paeth are inherently sequential
+    recurrences). Palette, sub-byte depths, 16-bit, and Adam7 raise
+    loudly — poison-row handled by the caller."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced truecolor PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    ch = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # truncated/corrupt stream -> poison row, not a crash
+        raise ValueError(f"PNG inflate failed: {exc}") from exc
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if ft == 0:  # None
+            rec = line.copy()
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] — lane cumsum mod 256
+            rec = line.reshape(-1, ch).cumsum(axis=0, dtype=np.uint64).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up: uint8 add wraps mod 256
+            rec = line + prev
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, ch)
+    return np.ascontiguousarray(img[:, :, :3])
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -182,11 +294,13 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
     mime = (mime or "").lower()
     if mime in ("image/bmp", "image/x-bmp", "image/x-ms-bmp"):
         return bmp_features(decode_bmp(payload))
+    if mime == "image/png":
+        return bmp_features(decode_png(payload))
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_features(*decode_wav(payload))
     raise NotImplementedError(
-        f"mime {mime!r} requires PIL/ffmpeg (not in this container); "
-        "codec-free formats: image/bmp, audio/wav"
+        f"mime {mime!r} requires an entropy/DCT codec (not in this container); "
+        "real decode: image/bmp, image/png, audio/wav"
     )
 
 
@@ -367,7 +481,7 @@ def synth_media_assets(docs: DataFrame, kind: str) -> DataFrame:
     """documents(doc_id) → (media_ref, kind, payload, mime) with real
     encoded BMP/WAV payloads synthesized per row inside an Arrow batch
     kernel (encode cost stays on executors, scales with partitions)."""
-    if kind not in ("bmp", "wav"):
+    if kind not in ("bmp", "png", "wav"):
         raise ValueError(f"unknown synthetic kind {kind!r}")
 
     out_schema = T.StructType(
@@ -385,6 +499,9 @@ def synth_media_assets(docs: DataFrame, kind: str) -> DataFrame:
             if kind == "bmp":
                 payloads = [encode_bmp(synth_image(int(d))) for d in ids]
                 mime, kname = "image/bmp", "image"
+            elif kind == "png":
+                payloads = [encode_png(synth_image(int(d))) for d in ids]
+                mime, kname = "image/png", "image"
             else:
                 payloads = [encode_wav(synth_audio(int(d)), 8000) for d in ids]
                 mime, kname = "audio/wav", "audio"

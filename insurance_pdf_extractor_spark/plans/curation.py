@@ -240,6 +240,7 @@ def run_curate_job(
     sample_fraction: float = 1.0,
     pack_budget: int = 512,
     tokenizer: str = "whitespace",
+    profile: bool = False,
     _stop_after: str | None = None,
 ) -> dict:
     """One (possibly resumed) curation run: executes the funnel stage
@@ -247,6 +248,12 @@ def run_curate_job(
     per completed stage; on re-run with the same ``run_id``, completed
     stages are LOADED, not recomputed. Returns
     {"stages_run": [...], "stages_skipped": [...]}.
+
+    ``profile=True`` adds one more checkpointed stage after survivors:
+    :func:`..operators.text_quality.corpus_profile` over the survivor
+    text — vocab and TF-IDF artifacts written to
+    ``<out_dir>/profile_vocab`` and ``<out_dir>/profile_tfidf`` off ONE
+    shared (doc, word, tf) scan, not one scan per artifact.
 
     ``_stop_after`` is the kill-simulation test hook: the run 'dies'
     after checkpointing that stage (mirrors ``_limit_buckets`` in
@@ -311,4 +318,19 @@ def run_curate_job(
     if _stop_after == "survivors":
         return result
     step("packing", lambda: stage_packing(survivors, id_col, pack_budget))
+    if profile:
+        if "profile" in done:
+            skipped.append("profile")
+        else:
+            t0 = time.monotonic()
+            prof = tq.corpus_profile(survivors, text_col=text_col, id_col=id_col)
+            prof["vocab"].write.mode("overwrite").parquet(f"{out_dir}/profile_vocab")
+            prof["tfidf"].write.mode("overwrite").parquet(f"{out_dir}/profile_tfidf")
+            prof["tf"].unpersist()
+            n_vocab = spark.read.parquet(f"{out_dir}/profile_vocab").count()
+            spark.createDataFrame(
+                [(run_id, "profile", n_vocab, int((time.monotonic() - t0) * 1000))],
+                "run_id string, stage string, rows bigint, wall_ms bigint",
+            ).write.mode("append").parquet(f"{out_dir}/{_CURATE_CKPT}")
+            ran.append("profile")
     return result

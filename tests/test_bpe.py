@@ -94,3 +94,97 @@ def test_packing_tiles_exactly_at_bpe_counts(spark):
     last = max(per_chunk)
     assert all(v == budget for c, v in per_chunk.items() if c != last)
     assert sum(per_chunk.values()) == total_tokens
+
+
+def _naive_train(texts, n_merges):
+    """The original full-recount trainer, kept as the property oracle
+    for the incremental heap trainer."""
+    freqs = bpe._word_freqs(texts)
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for word, n in freqs.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        nf = {}
+        for word, n in freqs.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == best[0] and word[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            k = tuple(out)
+            nf[k] = nf.get(k, 0) + n
+        freqs = nf
+    return merges
+
+
+def test_incremental_trainer_matches_naive_reference():
+    """The heap trainer's output is bit-identical to the naive
+    full-recount loop (same max-count selection, same lexicographic
+    tiebreak) — on the seed corpus and on adversarial tie/overlap
+    shapes (repeated letters, shared prefixes)."""
+    cases = [
+        ([bpe._SEED_CORPUS], 256),
+        (["aaaa aaaa aa baab", "abab ababab"], 50),
+        (["low lower lowest low low", "newer newest new"], 30),
+    ]
+    for texts, n in cases:
+        assert bpe.train_bpe(texts, n_merges=n) == _naive_train(texts, n)
+
+
+def test_production_merges_is_big_and_deterministic():
+    """Verdict r4 #4: a >=10k-merge table exists and trains
+    deterministically. (It trains on the synthetic Zipf vocabulary —
+    the shared testdata corpus has a 31-word vocabulary, from which a
+    production-sized table cannot be learned.)"""
+    pm = bpe.production_merges()
+    assert len(pm) >= 10_000
+    assert pm[:100] == tuple(bpe.train_bpe_from_freqs(
+        {**bpe.synthetic_word_freqs(),
+         **{w: n * 1_000 for w, n in bpe._word_freqs([bpe._SEED_CORPUS]).items()}},
+        n_merges=100,
+    ))
+
+
+def test_bpe_broadcast_path_matches_closure_path(spark):
+    """bpe_token_count_udf(merges, sc=...) ships the table by torrent
+    broadcast; counts are identical to the closure-serialized path,
+    and the broadcast handle is exposed for release."""
+    rows = [(i, t) for i, t in enumerate([
+        "the insured party shall pay the premium",
+        "bazivo kuta rewa nulo",  # synthetic-vocab-shaped words
+        None,
+        "",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pm = bpe.production_merges()
+    plain = bpe.bpe_token_count_udf(pm)
+    bcast = bpe.bpe_token_count_udf(pm, sc=spark.sparkContext)
+    got = df.select(
+        "doc_id", plain(F.col("text")).alias("a"), bcast(F.col("text")).alias("b")
+    ).collect()
+    assert all(r.a == r.b for r in got)
+    assert plain.broadcast is None and bcast.broadcast is not None
+    bcast.broadcast.destroy()
+
+
+def test_corpus_word_freqs_matches_driver_side(spark):
+    """The distributed word-frequency path (explode + groupBy + collect)
+    equals the pure-Python _word_freqs over the same texts — the seam
+    that lets a real corpus train the merges table without its text
+    ever reaching the driver."""
+    texts = ["low lower, lowest low!", "newer (newest) new 42", None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe.corpus_word_freqs(df)
+    assert got == bpe._word_freqs([t for t in texts if t is not None])

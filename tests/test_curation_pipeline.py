@@ -190,3 +190,53 @@ def test_curate_job_cli_resumable(spark, tmp_path):
     second = run()
     assert second["stages_run"] == [] and len(second["stages_skipped"]) == 5
     assert second["survivors"] == first["survivors"]
+
+
+def test_curate_job_profile_flag(spark, tmp_path):
+    """--profile (r4 verdict #8): the job writes profile_vocab +
+    profile_tfidf alongside survivors/packing, and both artifacts equal
+    the standalone operators computed over the survivors — evidence the
+    shared-scan corpus_profile path is reachable from spark-submit."""
+    import contextlib
+    import io
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs import curate
+    from insurance_pdf_extractor_spark.operators import text_quality as tq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "prof")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curate.main(["--input", src, "--output", out, "--skip-funnel", "--profile"])
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["survivors"] > 0
+
+    survivors = spark.read.parquet(f"{out}/survivors")
+    vocab = spark.read.parquet(f"{out}/profile_vocab")
+    tfidf = spark.read.parquet(f"{out}/profile_tfidf")
+    want_vocab = {tuple(r) for r in tq.vocab_topk(survivors).collect()}
+    assert {tuple(r) for r in vocab.collect()} == want_vocab and want_vocab
+    want_tfidf = {tuple(r) for r in tq.tfidf_top_terms(survivors).collect()}
+    assert {tuple(r) for r in tfidf.collect()} == want_tfidf and want_tfidf
+
+    # resumable path: profile is a checkpointed stage — a second run
+    # with the same run_id skips it
+    out2 = str(tmp_path / "prof_resume")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        curate.main(
+            ["--input", src, "--output", out2, "--run-id", "p1", "--profile"]
+        )
+    r1 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert "profile" in r1["stages_run"]
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        curate.main(
+            ["--input", src, "--output", out2, "--run-id", "p1", "--profile"]
+        )
+    r2 = json.loads(buf3.getvalue().strip().splitlines()[-1])
+    assert "profile" in r2["stages_skipped"]

@@ -118,7 +118,7 @@ def test_decode_media_dispatch():
     feats = decode_media(encode_wav(s, 8000), "audio/x-wav")
     assert feats == wav_features(s, 8000)
     # codec formats stay an explicit seam
-    for mime in ("image/png", "image/jpeg", "video/mp4", None):
+    for mime in ("image/jpeg", "audio/mpeg", "video/mp4", None):  # png is real as of r5
         with pytest.raises(NotImplementedError):
             decode_media(b"x", mime)
 
@@ -211,3 +211,136 @@ def test_frame_sample_into_feature_extraction(spark):
     rows = {r["media_ref"]: r for r in extract_media_features(as_assets, use_fake=False).collect()}
     assert set(rows) == {"v1#0", "v1#1000"}
     assert np.allclose(rows["v1#1000"]["features"], bmp_features(synth_image(2, h=4, w=4)), atol=1e-6)
+
+
+# --- PNG (stdlib-zlib real codec, new r5) ------------------------------
+
+
+def _png_filter_rows(img, filters, ch=3):
+    """Reference FORWARD filterer (spec direction, the inverse of what
+    decode_png undoes): produce the filtered scanline stream for the
+    given per-row filter types."""
+    h, w, _ = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    out = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        row = list(flat[y])
+        ft = filters[y]
+        out.append(ft)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = row[x] - pred
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _png_wrap(ihdr_fields, idat_raw):
+    import struct as st
+    import zlib
+
+    def chunk(tag, data):
+        return st.pack(">I", len(data)) + tag + data + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", *ihdr_fields))
+        + chunk(b"IDAT", zlib.compress(idat_raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_fixture_byte_identity():
+    from insurance_pdf_extractor_spark.operators import multimodal as mm
+    from tools.make_fixtures import _fx_png_bytes
+
+    for doc_id in (0, 7, 59):
+        img = mm.synth_image(doc_id)
+        b = mm.encode_png(img)
+        assert (mm.decode_png(b) == img).all()
+        assert b == _fx_png_bytes(doc_id)  # independent encoder, same bytes
+
+
+def test_png_all_five_filters_decode():
+    """decode_png undoes every scanline filter the spec defines —
+    pinned against an independent forward filterer."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 6, 3)).astype(np.uint8)
+    for filters in ([0, 1, 2, 3, 4, 0, 4, 3, 2, 1], [4] * 10, [3] * 10, [1] * 10, [2] * 10):
+        raw = _png_filter_rows(img, filters)
+        payload = _png_wrap((6, 10, 8, 2, 0, 0, 0), raw)
+        assert (mm.decode_png(payload) == img).all(), filters
+
+
+def test_png_rgba_drops_alpha():
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators import multimodal as mm
+
+    rgba = np.arange(4 * 3 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    raw = bytearray()
+    for y in range(3):
+        raw.append(0)
+        raw.extend(rgba[y].tobytes())
+    payload = _png_wrap((4, 3, 8, 6, 0, 0, 0), bytes(raw))
+    assert (mm.decode_png(payload) == rgba[:, :, :3]).all()
+
+
+def test_png_rejects_bad_inputs():
+    import pytest as pt
+    import struct as st
+    import zlib
+
+    from insurance_pdf_extractor_spark.operators import multimodal as mm
+
+    img = mm.synth_image(1)
+    good = mm.encode_png(img)
+    with pt.raises(ValueError):
+        mm.decode_png(b"not a png")
+    with pt.raises(ValueError):
+        mm.decode_png(good[:40])  # truncated chunk
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with pt.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(corrupt))
+    # palette (color type 3) is an explicit NotImplementedError seam
+    raw = bytes([0] * (1 + 4))
+    pal = _png_wrap((4, 1, 8, 3, 0, 0, 0), raw)
+    with pt.raises(NotImplementedError):
+        mm.decode_png(pal)
+    # Adam7 interlace rejected
+    inter = _png_wrap((4, 1, 8, 2, 0, 0, 1), raw)
+    with pt.raises(NotImplementedError):
+        mm.decode_png(inter)
+    # declared size inconsistent with inflated bytes
+    short = _png_wrap((16, 16, 8, 2, 0, 0, 0), b"\x00" * 10)
+    with pt.raises(ValueError, match="length mismatch"):
+        mm.decode_png(short)
+
+
+def test_decode_media_dispatches_png():
+    from insurance_pdf_extractor_spark.operators import multimodal as mm
+
+    img = mm.synth_image(3)
+    got = mm.decode_media(mm.encode_png(img), "image/png")
+    assert got == mm.bmp_features(img)  # same pixels -> same 19-dim feature

@@ -94,14 +94,15 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_decode_media_codec_formats_stay_stubbed():
-    """Formats that need PIL/ffmpeg remain an explicit seam; codec-free
-    BMP/WAV decode for real (tests/test_multimodal_decode.py)."""
+    """Formats that need entropy/DCT codecs remain an explicit seam;
+    BMP/PNG/WAV decode for real (tests/test_multimodal_decode.py —
+    PNG moved from this stub list to the real column in r5)."""
     import pytest as _pytest
 
     from insurance_pdf_extractor_spark.operators.multimodal import decode_media
 
     with _pytest.raises(NotImplementedError):
-        decode_media(b"x", "image/png")
+        decode_media(b"x", "image/jpeg")
 
 def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: the dedup state survives micro-batches —
@@ -218,3 +219,60 @@ def test_streaming_ingest_dedup_vs_static_history(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id FROM ingest_dedup").collect()
     assert {r.doc_id for r in rows} == {"s2"}
+
+
+def test_streaming_near_dup_flagging_reuses_band_table(spark, tmp_path):
+    """start_near_dup_ingest_flagging: a REAL availableNow stream whose
+    micro-batches all probe the SAME bucketed history band table
+    (written once by dedup.write_band_table) — accumulated pairs equal
+    the per-batch live-history calls."""
+    from insurance_pdf_extractor_spark.operators import dedup
+    from insurance_pdf_extractor_spark.streaming.stream import start_near_dup_ingest_flagging
+
+    schema = "doc_id string, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain stays mainly on the plain for days"
+    )
+    history = spark.createDataFrame(
+        [("h1", base), ("h2", "totally different accepted document about arrow batches")],
+        schema,
+    )
+    dedup.write_band_table(
+        history, "stream_hist_bands", str(tmp_path / "hb"), n_buckets=4,
+        id_col="doc_id", mode="overwrite",
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two files => two micro-batches probing one band table
+    b1 = [("a1", base), ("a2", "nothing in common with either history document at all")]
+    b2 = [("b1", base.replace("dog", "cat"))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    try:
+        q = start_near_dup_ingest_flagging(
+            spark,
+            str(in_dir),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            history,
+            hist_bands=spark.table("stream_hist_bands"),
+            min_jaccard=0.5,
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.batch_id, r.hist_id)
+            for r in spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()
+        }
+        want = set()
+        for rows in (b1, b2):
+            live = dedup.incremental_near_dup_pairs(
+                spark.createDataFrame(rows, schema), history, min_jaccard=0.5
+            )
+            want |= {(r.batch_id, r.hist_id) for r in live.collect()}
+        assert got == want
+        assert ("a1", "h1") in got and ("b1", "h1") in got
+        assert all(b != "a2" for b, _ in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_hist_bands")

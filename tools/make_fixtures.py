@@ -432,6 +432,36 @@ def _fx_bmp_features(doc_id: int, h: int = 16, w: int = 16) -> list[float]:
     return out
 
 
+def _fx_png_bytes(doc_id: int, h: int = 16, w: int = 16) -> bytes:
+    """Independent 8-bit truecolor PNG from the shared pixel spec:
+    filter-0 scanlines built with pure-Python loops, one zlib stream at
+    level 6 (the stdlib zlib both sides call — like the stdlib wave
+    both WAV encoders call), big-endian chunk framing via struct."""
+    import zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            for c in range(3):
+                raw.append((doc_id * 31 + y * 7 + x * 13 + c * 59) % 256)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _fx_wav_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
     """Independent PCM16 WAV: samples (doc_id*40503+i*2654435761)%65536
     - 32768, packed little-endian via the stdlib wave module."""
@@ -487,6 +517,14 @@ def fx_media_features(docs) -> pa.Table:
             kinds.append("image")
             nb.append(len(b))
             shas.append(hashlib.sha1(b).hexdigest())
+            feats.append(fmt(_fx_bmp_features(doc_id)))
+            # PNG: same pixels, same feature spec — only the container
+            # (and so n_bytes/sha1) differs from the BMP row
+            p = _fx_png_bytes(doc_id)
+            refs.append(f"png-{doc_id}")
+            kinds.append("image")
+            nb.append(len(p))
+            shas.append(hashlib.sha1(p).hexdigest())
             feats.append(fmt(_fx_bmp_features(doc_id)))
             wv = _fx_wav_bytes(doc_id)
             refs.append(f"wav-{doc_id}")
@@ -720,16 +758,18 @@ def fx_kmeans_semantic(embs, k=8, n_iter=4, threshold=0.4) -> pa.Table:
 
 
 def fx_bpe_tokens(docs) -> pa.Table:
-    """Expected BPE token counts under the packaged merges table. The
-    merges are shared DATA (a tokenizer's vocab file — like the XXH64
-    spec constants); the ENCODER here is an independent implementation:
-    it merges the lowest-rank pair one leftmost occurrence at a time,
-    provably equivalent to the engine's merge-all-occurrences loop
-    because any pair involving a merged symbol was learned after (ranks
-    strictly later than) the merge that created the symbol."""
-    from insurance_pdf_extractor_spark.operators.bpe import PRETOKEN_RE, default_merges
+    """Expected BPE token counts under the production-sized merges
+    table (12k merges — bpe.production_merges, the r4 real-vocab ask).
+    The merges are shared DATA (a tokenizer's vocab file — like the
+    XXH64 spec constants); the ENCODER here is an independent
+    implementation: it merges the lowest-rank pair one leftmost
+    occurrence at a time, provably equivalent to the engine's
+    merge-all-occurrences loop because any pair involving a merged
+    symbol was learned after (ranks strictly later than) the merge
+    that created the symbol."""
+    from insurance_pdf_extractor_spark.operators.bpe import PRETOKEN_RE, production_merges
 
-    ranks = {p: i for i, p in enumerate(default_merges())}
+    ranks = {p: i for i, p in enumerate(production_merges())}
 
     def encode_len(word: str) -> int:
         parts = list(word)
