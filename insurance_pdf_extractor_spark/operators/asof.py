@@ -19,10 +19,12 @@ Scale notes (10^12 rows):
   may be arbitrarily large (unlike a broadcast-interval approach).
 - the per-key window is inherently sequential — that is the operator's
   semantics (a running "latest") — so a single hot key serializes.
-  Hot-key mitigation is time-range bucketing: split each key by
-  coarse ts bucket, seed each bucket with the previous bucket's last
-  build row, which keeps the window frame bounded. Not needed at gate
-  scale; documented so the skew story is explicit.
+  Hot-key mitigation is time-range bucketing (:func:`asof_join_bucketed`):
+  split each key by coarse ts bucket, seed each bucket with the
+  previous bucket's last build row, and run the running-latest window
+  per (key, bucket) — parallelism becomes keys x buckets and the
+  per-task frame is bounded by one bucket's rows. Result-identical to
+  the plain operator at ANY bucket width (property-tested).
 - equal timestamps: build rows sort BEFORE probe rows at the same ts
   (side 0 < 1), giving inclusive `probe_ts >= build_ts` semantics,
   matching DuckDB's ASOF `>=`. Ties WITHIN the build side at one
@@ -53,6 +55,21 @@ def asof_join(
     tiebreak: build-side column ordering equal-timestamp build rows
       (larger wins), for determinism when (on, build_ts) is not unique.
     """
+    merged, probe_cols = _tagged_union(
+        probe, build, on, probe_ts, build_ts, payload_cols, tiebreak
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _emit(merged, w, probe_cols, payload_cols)
+
+
+def _tagged_union(probe, build, on, probe_ts, build_ts, payload_cols, tiebreak):
+    """Shared union-tag construction: build rows (side 0, payload
+    struct) + probe rows (side 1, original row struct), slim columns
+    only — what the key exchange actually carries."""
     payload = F.struct(*[F.col(c) for c in payload_cols])
     tie = F.col(tiebreak) if tiebreak else F.lit(0)
     b = build.select(
@@ -81,13 +98,11 @@ def asof_join(
         "_tie",
         "_pay",
     )
-    merged = b.unionByName(p)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
+    return b.unionByName(p), probe_cols
+
+
+def _emit(merged: DataFrame, w: Window, probe_cols, payload_cols) -> DataFrame:
+    return (
         merged.withColumn("_latest", F.last("_pay", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
         .select(
@@ -95,4 +110,83 @@ def asof_join(
             *[F.col(f"_latest.{c}").alias(c) for c in payload_cols],
         )
     )
-    return out
+
+
+def asof_join_bucketed(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+    bucket_width: str = "1 hour",
+) -> DataFrame:
+    """:func:`asof_join` with the hot-key mitigation the plain
+    operator's docstring promises: the running-latest window runs per
+    (key, time bucket) instead of per key, so one hot key's rows spread
+    over #buckets tasks and the per-task sort frame is bounded by a
+    bucket's rows. Identical results at any ``bucket_width``.
+
+    Cross-bucket carry: each (key, bucket) gets ONE synthetic seed row
+    holding the latest build payload from all EARLIER buckets —
+    computed as a per-bucket ``max_by`` aggregate (map-side combined)
+    followed by a running ``last`` over the per-key BUCKET LIST (a
+    window over #buckets rows, not data rows — bounded by time span /
+    width, independent of corpus size). Seeds sort first in their
+    bucket (side -1 < build 0 < probe 1 at the bucket-start timestamp),
+    so a real build row at the bucket boundary still wins for probes at
+    or after it — the plain operator's inclusive ``>=`` tie semantics
+    survive bucketing.
+
+    Scale shape: two exchanges of the slim tagged frame — the
+    (k, bucket) window partitioning plus one (k, bucket) aggregate for
+    seeds — versus the plain operator's single (k) exchange; the price
+    buys per-task frames bounded by bucket width. Pick ``bucket_width``
+    so a hot key's densest bucket fits one task comfortably.
+
+    Reference anchor: same "state at event time" lookups as
+    :func:`asof_join` (app/services/storage.py query patterns), defused
+    for keys whose history is too long to sort in one task.
+    """
+    merged, probe_cols = _tagged_union(
+        probe, build, on, probe_ts, build_ts, payload_cols, tiebreak
+    )
+    m = merged.withColumn("_bkt", F.window(F.col("_ts"), bucket_width)["start"])
+    # per-(key, bucket) latest build payload — slim aggregate, map-side
+    # combined; max_by orders by (ts, tie) = the window's build-row order
+    last_in_bucket = (
+        m.filter(F.col("_side") == 0)
+        .groupBy("_k", "_bkt")
+        .agg(F.max_by("_pay", F.struct("_ts", "_tie")).alias("_lp"))
+    )
+    # every (key, bucket) either side touches, seeded from strictly
+    # earlier buckets (rowsBetween ... -1): a window over the per-key
+    # bucket list, bounded by #buckets not #rows
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        m.select("_k", "_bkt")
+        .distinct()
+        .join(last_in_bucket, ["_k", "_bkt"], "left")
+        .withColumn("_seed", F.last("_lp", ignorenulls=True).over(wb))
+        .filter(F.col("_seed").isNotNull())
+        .select(
+            F.lit(None).cast(m.schema["_row"].dataType).alias("_row"),
+            "_k",
+            F.col("_bkt").alias("_ts"),
+            F.lit(-1).alias("_side"),
+            F.lit(0).alias("_tie"),
+            F.col("_seed").alias("_pay"),
+            "_bkt",
+        )
+    )
+    w = (
+        Window.partitionBy("_k", "_bkt")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _emit(m.unionByName(seeds), w, probe_cols, payload_cols)

@@ -296,11 +296,16 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
         return bmp_features(decode_bmp(payload))
     if mime == "image/png":
         return bmp_features(decode_png(payload))
+    if mime in ("image/jpeg", "image/jpg"):
+        from .jpeg import decode_jpeg
+
+        return bmp_features(decode_jpeg(payload))
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_features(*decode_wav(payload))
     raise NotImplementedError(
-        f"mime {mime!r} requires an entropy/DCT codec (not in this container); "
-        "real decode: image/bmp, image/png, audio/wav"
+        f"mime {mime!r} requires a codec not in this container (MP3/MP4 "
+        "entropy/transform decode); real decode: image/bmp, image/png, "
+        "image/jpeg, audio/wav"
     )
 
 
@@ -481,7 +486,7 @@ def synth_media_assets(docs: DataFrame, kind: str) -> DataFrame:
     """documents(doc_id) → (media_ref, kind, payload, mime) with real
     encoded BMP/WAV payloads synthesized per row inside an Arrow batch
     kernel (encode cost stays on executors, scales with partitions)."""
-    if kind not in ("bmp", "png", "wav"):
+    if kind not in ("bmp", "png", "jpeg", "wav"):
         raise ValueError(f"unknown synthetic kind {kind!r}")
 
     out_schema = T.StructType(
@@ -502,6 +507,18 @@ def synth_media_assets(docs: DataFrame, kind: str) -> DataFrame:
             elif kind == "png":
                 payloads = [encode_png(synth_image(int(d))) for d in ids]
                 mime, kname = "image/png", "image"
+            elif kind == "jpeg":
+                from .jpeg import encode_jpeg
+
+                # 24x24 -> four 16x16 MCUs at 4:2:0, restart every 2
+                # MCUs: the gate exercises subsampling, edge padding,
+                # AND the DRI/RSTn path, not just the easy 4:4:4 case
+                payloads = [
+                    encode_jpeg(synth_image(int(d), 24, 24), quality=90,
+                                subsample=True, restart_interval=2)
+                    for d in ids
+                ]
+                mime, kname = "image/jpeg", "image"
             else:
                 payloads = [encode_wav(synth_audio(int(d)), 8000) for d in ids]
                 mime, kname = "audio/wav", "audio"

@@ -418,6 +418,53 @@ def q_asof_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of join, hot-key bucketed variant — same semantics and same DuckDB
+# native-ASOF oracle as asof_join, but the running-latest window runs
+# per (key, 13-minute bucket) with cross-bucket seed rows
+# (operators/asof.py:asof_join_bucketed). 13 minutes deliberately
+# misaligns with the events table's timestamp grid so bucket
+# boundaries fall mid-stream; the driver value-hash proves the
+# seed-carry construction reproduces the plain as-of result exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_bucketed",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.event_id AS purchase_id, p.value AS purchase_value, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join_bucketed(spark, sf_dir):
+    from .operators.asof import asof_join_bucketed
+
+    ev = _load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_bts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join_bucketed(
+        probe,
+        build,
+        on="user_id",
+        probe_ts="ts",
+        build_ts="_bts",
+        payload_cols=["purchase_id", "purchase_value", "purchase_ts"],
+        tiebreak="purchase_id",
+        bucket_width="13 minutes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # P4 — dynamic search predicates (app/services/storage.py:388-433)
 # ---------------------------------------------------------------------------
 # P4 dynamic search predicates — consolidated into `ordered_slices`
@@ -2411,14 +2458,18 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 @register("media_features", _fx("media_features"))
 def q_media_features(spark, sf_dir):
-    """Multimodal decode: four src branches through one mapInPandas
+    """Multimodal decode: five src branches through one mapInPandas
     feature extractor — the deterministic fake decoder (byte histogram,
     opaque mime), REAL uncompressed-BMP image decode, REAL compressed
-    PNG decode (stdlib-zlib inflate + scanline unfiltering, new r5),
-    and REAL PCM-WAV audio decode (multimodal.py codecs). The payloads
-    are encoded on-executor from an arithmetic per-doc_id spec the
-    fixture oracle reproduces independently — sha1 therefore also pins
-    the ENCODERS byte-for-byte, not just the decoded features."""
+    PNG decode (stdlib-zlib inflate + scanline unfiltering), REAL
+    baseline JPEG decode (new r5 — huffman entropy decode + fixed-point
+    IDCT + 4:2:0 upsampling + restart markers, operators/jpeg.py), and
+    REAL PCM-WAV audio decode. The payloads are encoded on-executor
+    from an arithmetic per-doc_id spec the fixture oracle reproduces
+    independently — sha1 therefore also pins the ENCODERS
+    byte-for-byte; the JPEG rows' features run on DECODED pixels, so
+    the value hash additionally pins both DECODERS to integer-exact
+    agreement (the fixed-point DCT contract in operators/jpeg.py)."""
     from .operators.multimodal import extract_media_features, synth_media_assets
 
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2432,6 +2483,7 @@ def q_media_features(spark, sf_dir):
     real_assets = (
         synth_media_assets(real_docs, "bmp")
         .unionByName(synth_media_assets(real_docs, "png"))
+        .unionByName(synth_media_assets(real_docs, "jpeg"))
         .unionByName(synth_media_assets(real_docs, "wav"))
     )
     feats = extract_media_features(assets).unionByName(

@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from insurance_pdf_extractor_spark.operators.asof import asof_join
+from insurance_pdf_extractor_spark.operators.asof import asof_join, asof_join_bucketed
 
 
 def _t(minute, second=0):
@@ -123,3 +123,46 @@ def test_deterministic_across_partitionings(spark, frames):
         payload_cols=["pay_id"], tiebreak="pay_id",
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# asof_join_bucketed — the hot-key time-bucket variant must be
+# result-identical to the plain operator at ANY bucket width.
+# ---------------------------------------------------------------------------
+
+def _both(probe, build, width, **kw):
+    kw = dict(on="k", probe_ts="ts", build_ts="bts",
+              payload_cols=["pay_id", "pay_val"], tiebreak="pay_id", **kw)
+    plain = asof_join(probe, build, **kw)
+    bucketed = asof_join_bucketed(probe, build, bucket_width=width, **kw)
+    return (sorted(map(tuple, plain.collect())),
+            sorted(map(tuple, bucketed.collect())))
+
+
+@pytest.mark.parametrize("width", ["1 minute", "7 minutes", "1 hour", "2 days"])
+def test_bucketed_equals_plain_on_fixture(spark, frames, width):
+    """Widths spanning every-row-own-bucket through one-global-bucket:
+    the seed-carry construction must reproduce the plain window exactly,
+    including the tie-at-bucket-boundary and no-prior-build-null rows."""
+    probe, build = frames
+    plain, bucketed = _both(probe, build, width)
+    assert plain == bucketed
+
+
+def test_bucketed_equals_plain_hot_key(spark):
+    """One hot key holding 90% of rows, build ts colliding with bucket
+    boundaries (ts at exact multiples of the width) — the regime the
+    variant exists for. Deterministic synthetic data, no RNG."""
+    rows_p, rows_b = [], []
+    for i in range(400):
+        k = 1 if i % 10 else 2            # key 1 hot
+        rows_p.append((i, k, dt.datetime(2024, 1, 1, 9 + (i % 3), i % 60, (i * 7) % 60)))
+    for j in range(120):
+        k = 1 if j % 5 else 2
+        # exact 5-minute marks so build rows sit ON bucket starts
+        rows_b.append((k, dt.datetime(2024, 1, 1, 9 + (j % 3), (j * 5) % 60, 0), 1000 + j, float(j)))
+    probe = spark.createDataFrame(rows_p, "probe_id long, k long, ts timestamp")
+    build = spark.createDataFrame(rows_b, "k long, bts timestamp, pay_id long, pay_val double")
+    for width in ("5 minutes", "13 minutes", "1 hour"):
+        plain, bucketed = _both(probe, build, width)
+        assert plain == bucketed, width

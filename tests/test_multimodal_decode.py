@@ -117,8 +117,12 @@ def test_decode_media_dispatch():
     s = synth_audio(5)
     feats = decode_media(encode_wav(s, 8000), "audio/x-wav")
     assert feats == wav_features(s, 8000)
-    # codec formats stay an explicit seam
-    for mime in ("image/jpeg", "audio/mpeg", "video/mp4", None):  # png is real as of r5
+    # jpeg dispatches to the real codec as of r5: corrupt bytes are a
+    # ValueError (poison row), not an unimplemented seam
+    with pytest.raises(ValueError):
+        decode_media(b"x", "image/jpeg")
+    # remaining codec formats stay an explicit seam
+    for mime in ("audio/mpeg", "video/mp4", None):
         with pytest.raises(NotImplementedError):
             decode_media(b"x", mime)
 

@@ -94,15 +94,16 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_decode_media_codec_formats_stay_stubbed():
-    """Formats that need entropy/DCT codecs remain an explicit seam;
-    BMP/PNG/WAV decode for real (tests/test_multimodal_decode.py —
-    PNG moved from this stub list to the real column in r5)."""
+    """Formats that need codecs not in this container remain an explicit
+    seam; BMP/PNG/JPEG/WAV decode for real (tests/test_multimodal_decode.py
+    and tests/test_jpeg.py — JPEG moved off this stub list in r5)."""
     import pytest as _pytest
 
     from insurance_pdf_extractor_spark.operators.multimodal import decode_media
 
-    with _pytest.raises(NotImplementedError):
-        decode_media(b"x", "image/jpeg")
+    for mime in ("audio/mpeg", "video/mp4"):
+        with _pytest.raises(NotImplementedError):
+            decode_media(b"x", mime)
 
 def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: the dedup state survives micro-batches —

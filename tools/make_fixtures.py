@@ -487,6 +487,417 @@ def _fx_wav_features(doc_id: int, n: int = 1600, rate: int = 8000) -> list[float
     return [n / rate, rms, zcr, *seg]
 
 
+def _jpeg_spec():
+    """Spec constants shared with the kernel codec (Annex K tables,
+    zigzag, fixed-point scale) — public T.81 data, imported like
+    production_merges/EXTRACTOR_VERSION elsewhere in this file. All
+    LOGIC below (bit IO, huffman coding, DCT contraction, MCU
+    assembly) is an independent scalar reimplementation."""
+    from insurance_pdf_extractor_spark.operators import jpeg as J
+
+    return J
+
+
+def _jz_basis():
+    """Scalar rebuild of the fixed-point DCT basis: nested lists of
+    Python ints, round(2^28 * a(u)a(v)/4 cos cos)."""
+    J = _jpeg_spec()
+    b = [[[[0] * 8 for _ in range(8)] for _ in range(8)] for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            au = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            av = 1.0 / math.sqrt(2.0) if v == 0 else 1.0
+            for y in range(8):
+                for x in range(8):
+                    val = (
+                        au * av / 4.0
+                        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * v * math.pi / 16.0)
+                    )
+                    b[v][u][y][x] = round(val * (1 << J.SCALE_BITS))
+    return b
+
+
+def _fx_jpeg_encode(img, quality=90, restart_interval=2):
+    """Independent scalar baseline-JPEG encoder, 4:2:0 color only (the
+    gate's shape): pure-Python loops over pixels/blocks, its own
+    bitwriter, byte-identical by the fixed-point spec to
+    operators.jpeg.encode_jpeg(img, quality, subsample=True,
+    restart_interval). ``img[y][x] = (r, g, b)``."""
+    J = _jpeg_spec()
+    basis = _jz_basis()
+    half = 1 << (J.SCALE_BITS - 1)
+    h, w = len(img), len(img[0])
+    lq, cq = J.quality_tables(quality)
+
+    yp = [[0] * w for _ in range(h)]
+    cbp = [[0] * w for _ in range(h)]
+    crp = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = img[y][x]
+            hx, off = 1 << 15, 128 << 16
+            yv = (19595 * r + 38470 * g + 7471 * b + hx) >> 16
+            cb = (-11059 * r - 21709 * g + 32768 * b + off + hx) >> 16
+            cr = (32768 * r - 27439 * g - 5329 * b + off + hx) >> 16
+            yp[y][x] = min(max(yv, 0), 255)
+            cbp[y][x] = min(max(cb, 0), 255)
+            crp[y][x] = min(max(cr, 0), 255)
+
+    def pad(plane, hh, ww):
+        ph = [row[:] + [row[-1]] * (ww - len(row)) for row in plane]
+        while len(ph) < hh:
+            ph.append(ph[-1][:])
+        return ph
+
+    def box2(plane):
+        p = pad(plane, len(plane) + len(plane) % 2, len(plane[0]) + len(plane[0]) % 2)
+        return [
+            [(p[2 * y][2 * x] + p[2 * y][2 * x + 1] + p[2 * y + 1][2 * x] + p[2 * y + 1][2 * x + 1] + 2) >> 2
+             for x in range(len(p[0]) // 2)]
+            for y in range(len(p) // 2)
+        ]
+
+    cbs, crs = box2(cbp), box2(crp)
+    n_mcu_y, n_mcu_x = (h + 15) // 16, (w + 15) // 16
+
+    def blocks_of(plane, grid_h, grid_w):
+        p = pad(plane, grid_h * 8, grid_w * 8)
+        out = []
+        for by in range(grid_h):
+            for bx in range(grid_w):
+                out.append([[p[by * 8 + yy][bx * 8 + xx] for xx in range(8)] for yy in range(8)])
+        return out
+
+    def fdct_q(block, qt):
+        zz = [0] * 64
+        for v in range(8):
+            for u in range(8):
+                acc = 0
+                for y in range(8):
+                    for x in range(8):
+                        acc += (block[y][x] - 128) * basis[v][u][y][x]
+                g = (acc + half) >> J.SCALE_BITS
+                q = qt[J.ZIGZAG.index(v * 8 + u)]
+                sign = 1 if g > 0 else (-1 if g < 0 else 0)
+                zz_pos = J.ZIGZAG.index(v * 8 + u)
+                zz[zz_pos] = sign * ((2 * abs(g) + q) // (2 * q))
+        return zz
+
+    def codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_l, ac_l = codes(*J.DC_LUMA), codes(*J.AC_LUMA)
+    dc_c, ac_c = codes(*J.DC_CHROMA), codes(*J.AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, table in ((0, lq), (1, cq)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in ((0x00, J.DC_LUMA), (0x10, J.AC_LUMA), (0x01, J.DC_CHROMA), (0x11, J.AC_CHROMA)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th) + bytes(bits[1:17]) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    bitbuf = bytearray()
+    state = {"acc": 0, "n": 0}
+
+    def wbits(code, ln):
+        state["acc"] = (state["acc"] << ln) | (code & ((1 << ln) - 1))
+        state["n"] += ln
+        while state["n"] >= 8:
+            byte = (state["acc"] >> (state["n"] - 8)) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)
+            state["n"] -= 8
+        state["acc"] &= (1 << state["n"]) - 1
+
+    def flushbits():
+        if state["n"]:
+            padn = 8 - state["n"]
+            wbits((1 << padn) - 1, padn)
+
+    def cat(v):
+        return abs(v).bit_length()
+
+    def enc_block(zz, pred, dct, act):
+        dc = zz[0]
+        diff = dc - pred
+        t = cat(diff)
+        c, ln = dct[t]
+        wbits(c, ln)
+        if t:
+            wbits(diff if diff > 0 else diff + (1 << t) - 1, t)
+        last = 0
+        for i in range(63, 0, -1):
+            if zz[i]:
+                last = i
+                break
+        run = 0
+        for i in range(1, last + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                wbits(c, ln)
+                run -= 16
+            t = cat(v)
+            c, ln = act[(run << 4) | t]
+            wbits(c, ln)
+            wbits(v if v > 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last < 63:
+            c, ln = act[0x00]
+            wbits(c, ln)
+        return dc
+
+    yzz = [fdct_q(b, lq) for b in blocks_of(yp, n_mcu_y * 2, n_mcu_x * 2)]
+    cbzz = [fdct_q(b, cq) for b in blocks_of(cbs, n_mcu_y, n_mcu_x)]
+    crzz = [fdct_q(b, cq) for b in blocks_of(crs, n_mcu_y, n_mcu_x)]
+    preds = [0, 0, 0]
+    rst = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            mi = my * n_mcu_x + mx
+            if restart_interval and mi and mi % restart_interval == 0:
+                flushbits()
+                bitbuf.extend([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0, 0, 0]
+            for by in range(2):
+                for bx in range(2):
+                    bi = (my * 2 + by) * (n_mcu_x * 2) + (mx * 2 + bx)
+                    preds[0] = enc_block(yzz[bi], preds[0], dc_l, ac_l)
+            ci = my * n_mcu_x + mx
+            preds[1] = enc_block(cbzz[ci], preds[1], dc_c, ac_c)
+            preds[2] = enc_block(crzz[ci], preds[2], dc_c, ac_c)
+    flushbits()
+    out += bitbuf + b"\xff\xd9"
+    return bytes(out)
+
+
+def _fx_jpeg_decode(payload):
+    """Independent scalar baseline-JPEG decoder (bit-at-a-time reader,
+    per-coefficient IDCT loops, nearest-neighbor chroma upsampling) —
+    must reproduce operators.jpeg.decode_jpeg pixels EXACTLY per the
+    integer fixed-point contract. Returns img[y][x] = [r, g, b]."""
+    J = _jpeg_spec()
+    basis = _jz_basis()
+    half = 1 << (J.SCALE_BITS - 1)
+    assert payload[:2] == b"\xff\xd8"
+    pos = 2
+    qt, ht, comps = {}, {}, []
+    h = w = ri = 0
+    scan = []
+    while True:
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(seg):
+                tq = seg[o] & 0xF
+                tbl = [0] * 64
+                for i, p in enumerate(J.ZIGZAG):
+                    tbl[p] = seg[o + 1 + i]
+                qt[tq] = tbl
+                o += 65
+        elif marker == 0xC0:
+            h, w, nc = struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+            for i in range(nc):
+                comps.append({"id": seg[6 + 3 * i], "h": seg[7 + 3 * i] >> 4,
+                              "v": seg[7 + 3 * i] & 0xF, "tq": seg[8 + 3 * i]})
+        elif marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = [0] + list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                dec, code, k = {}, 0, 0
+                for L in range(1, 17):
+                    for _ in range(bits[L]):
+                        dec[(L, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                ht[(tc, th)] = dec
+                o += 17 + n
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            for i in range(seg[0]):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c["id"] == cid)
+                scan.append((idx, tt >> 4, tt & 0xF))
+            pos += ln
+            break
+        pos += ln
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mx = (w + 8 * hmax - 1) // (8 * hmax)
+    n_my = (h + 8 * vmax - 1) // (8 * vmax)
+
+    rd = {"pos": pos, "acc": 0, "n": 0}
+
+    def nxt():
+        while True:
+            b = payload[rd["pos"]]
+            if b != 0xFF:
+                rd["pos"] += 1
+                return b
+            if payload[rd["pos"] + 1] == 0x00:
+                rd["pos"] += 2
+                return 0xFF
+            raise AssertionError("marker in entropy data")
+
+    def bit():
+        if rd["n"] == 0:
+            rd["acc"] = nxt()
+            rd["n"] = 8
+        rd["n"] -= 1
+        return (rd["acc"] >> rd["n"]) & 1
+
+    def recv(n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    def sym(tbl):
+        code = 0
+        for L in range(1, 17):
+            code = (code << 1) | bit()
+            if (L, code) in tbl:
+                return tbl[(L, code)]
+        raise AssertionError("bad huffman code")
+
+    def ext(v, t):
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    blocks = [[] for _ in comps]
+    preds = [0] * len(comps)
+    for mi in range(n_mx * n_my):
+        if ri and mi and mi % ri == 0:
+            rd["acc"], rd["n"] = 0, 0
+            while payload[rd["pos"]] == 0xFF and payload[rd["pos"] + 1] == 0x00:
+                rd["pos"] += 2
+            while payload[rd["pos"]] == 0xFF and payload[rd["pos"] + 1] == 0xFF:
+                rd["pos"] += 1
+            assert payload[rd["pos"]] == 0xFF and 0xD0 <= payload[rd["pos"] + 1] <= 0xD7
+            rd["pos"] += 2
+            preds = [0] * len(comps)
+        for ci, dci, aci in scan:
+            c = comps[ci]
+            for _ in range(c["h"] * c["v"]):
+                zz = [0] * 64
+                t = sym(ht[(0, dci)])
+                preds[ci] += ext(recv(t), t) if t else 0
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = sym(ht[(1, aci)])
+                    r, t = rs >> 4, rs & 0xF
+                    if t == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    zz[k] = ext(recv(t), t)
+                    k += 1
+                blocks[ci].append(zz)
+
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        gw = n_mx * c["h"]
+        plane = [[0] * (gw * 8) for _ in range(n_my * c["v"] * 8)]
+        bi = 0
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = blocks[ci][bi]
+                        bi += 1
+                        F = [[0] * 8 for _ in range(8)]
+                        for i, p in enumerate(J.ZIGZAG):
+                            F[p // 8][p % 8] = zz[i] * q[p]
+                        for y in range(8):
+                            for x in range(8):
+                                acc = 0
+                                for v in range(8):
+                                    for u in range(8):
+                                        if F[v][u]:
+                                            acc += F[v][u] * basis[v][u][y][x]
+                                pix = ((acc + half) >> J.SCALE_BITS) + 128
+                                plane[(my * c["v"] + by) * 8 + y][(mx * c["h"] + bx) * 8 + x] = min(max(pix, 0), 255)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        up = [[plane[y // ry][x // rx] for x in range(w)] for y in range(h)]
+        planes.append(up)
+
+    if len(planes) == 1:
+        return [[[v, v, v] for v in row] for row in planes[0]]
+    img = []
+    hx = 1 << 15
+    for y in range(h):
+        row = []
+        for x in range(w):
+            yy, cb, cr = planes[0][y][x], planes[1][y][x] - 128, planes[2][y][x] - 128
+            r = yy + ((91881 * cr + hx) >> 16)
+            g = yy - ((22554 * cb + 46802 * cr + hx) >> 16)
+            b = yy + ((116130 * cb + hx) >> 16)
+            row.append([min(max(r, 0), 255), min(max(g, 0), 255), min(max(b, 0), 255)])
+        img.append(row)
+    return img
+
+
+def _fx_jpeg_bytes(doc_id: int, h: int = 24, w: int = 24) -> bytes:
+    px = lambda y, x, c: (doc_id * 31 + y * 7 + x * 13 + c * 59) % 256
+    img = [[(px(y, x, 0), px(y, x, 1), px(y, x, 2)) for x in range(w)] for y in range(h)]
+    return _fx_jpeg_encode(img, quality=90, restart_interval=2)
+
+
+def _fx_jpeg_features(doc_id: int, h: int = 24, w: int = 24) -> list[float]:
+    """Decoded-pixel features: JPEG is lossy, so unlike the BMP/PNG
+    rows the feature spec runs on the DECODED image from the
+    independent scalar decoder — value equality with the kernel's
+    numpy decode is exact because both DCTs are integer by spec."""
+    img = _fx_jpeg_decode(_fx_jpeg_bytes(doc_id, h, w))
+    out = []
+    for c in range(3):
+        s = sum(img[y][x][c] for y in range(h) for x in range(w))
+        out.append((s / float(h * w)) / 255.0)
+    bh, bw = h // 4, w // 4
+    for by in range(4):
+        for bx in range(4):
+            s = sum(
+                img[y][x][c]
+                for y in range(by * bh, (by + 1) * bh)
+                for x in range(bx * bw, (bx + 1) * bw)
+                for c in range(3)
+            )
+            out.append(((s / float(bh * bw)) / 3.0) / 255.0)
+    return out
+
+
 def fx_media_features(docs) -> pa.Table:
     refs, kinds, nb, shas, feats = [], [], [], [], []
 
@@ -526,6 +937,15 @@ def fx_media_features(docs) -> pa.Table:
             nb.append(len(p))
             shas.append(hashlib.sha1(p).hexdigest())
             feats.append(fmt(_fx_bmp_features(doc_id)))
+            # JPEG: lossy, so features come from the independently
+            # DECODED pixels (integer-exact per the fixed-point DCT
+            # contract), and sha1/n_bytes pin the encoder byte-for-byte
+            j = _fx_jpeg_bytes(doc_id)
+            refs.append(f"jpeg-{doc_id}")
+            kinds.append("image")
+            nb.append(len(j))
+            shas.append(hashlib.sha1(j).hexdigest())
+            feats.append(fmt(_fx_jpeg_features(doc_id)))
             wv = _fx_wav_bytes(doc_id)
             refs.append(f"wav-{doc_id}")
             kinds.append("audio")
