@@ -1,0 +1,631 @@
+"""Real container/framing parsers for the two formats whose CONTENT
+decode stays a codec seam: MPEG audio (MP3) frame streams and ISO BMFF
+(MP4) sample tables.
+
+What a 100-TB media pass actually needs from these formats is almost
+never the decoded waveform/pixels — it is the container metadata
+(duration, bitrate, frame count, codec fourcc) and the byte extents of
+individual samples so frame sampling can slice exactly the bytes it
+wants. Both are pure struct parsing over public specs (ISO/IEC 11172-3
+frame headers; ISO/IEC 14496-12 box structure), implementable with
+stdlib `struct` alone — so THIS half is real here, while Huffman/DCT
+decode of the sliced payloads remains the explicit
+``NotImplementedError`` seam in :mod:`.multimodal`.
+
+Everything below is per-row compute that runs inside the Arrow batch
+kernels (mapInPandas) — no JVM round-trips, no per-row Python UDFs.
+Corrupt payloads raise ``ValueError`` (poison row); legal-but-
+unsupported modes raise ``NotImplementedError`` (loud seam).
+
+Reference anchor: the reference validates uploads by magic prefix and
+extracts per-file metadata before processing (app/models/request.py
+upload validation, app/services/pdf_processor.py metadata pass); these
+parsers are that stage for audio/video members of the interleaved
+corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# --- MPEG-1 Layer III (MP3) frame stream -------------------------------
+# Public tables from ISO/IEC 11172-3. Only MPEG-1 Layer III mono is
+# synthesized/parsed; other versions/layers raise NotImplementedError.
+
+MP3_BITRATE_KBPS = (  # index 1..14 (0 = free, 15 = bad)
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)  # index 0..2 (3 = reserved)
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def mp3_frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """Layer III MPEG-1 frame length in bytes (spec formula)."""
+    return (144 * bitrate_kbps * 1000) // sample_rate + padding
+
+
+def encode_mp3_stream(
+    frame_specs: list[tuple[int, int]],
+    sr_idx: int = 0,
+    body_byte=lambda i, j: (i * 29 + j * 101) % 256,
+    id3_body: bytes | None = None,
+) -> bytes:
+    """Build a VALID MPEG-1 Layer III frame stream: correct sync words,
+    header fields, and per-frame lengths, with deterministic filler as
+    the (Huffman-coded in real files) main data. ``frame_specs`` is a
+    list of (bitrate_index 1..14, padding 0|1) per frame. An optional
+    ID3v2 tag (syncsafe length) is prepended when ``id3_body`` is given.
+
+    The stream parses with any spec-conforming walker; only the AUDIO
+    content is synthetic — which is exactly the honest analog of the
+    fixture PDFs: real framing, deterministic payload.
+    """
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    parts = []
+    if id3_body is not None:
+        n = len(id3_body)
+        if n >= 1 << 28:
+            raise ValueError("ID3v2 body too large for syncsafe size")
+        syncsafe = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        parts.append(b"ID3\x04\x00\x00" + syncsafe + id3_body)
+    for i, (br_idx, padding) in enumerate(frame_specs):
+        kbps = MP3_BITRATE_KBPS[br_idx]
+        if kbps is None:
+            raise ValueError(f"invalid bitrate index {br_idx}")
+        flen = mp3_frame_len(kbps, sr, padding)
+        # sync(11) | version=11 MPEG1 | layer=01 III | prot=1 no CRC
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,
+                (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+                0xC4,  # mono | mode_ext 0 | (c)0 orig 1 | emphasis none
+            ]
+        )
+        body = bytes(body_byte(i, j) for j in range(flen - 4))
+        parts.append(hdr + body)
+    return b"".join(parts)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """Walk an MP3 frame stream by computed frame lengths (no resync
+    heuristics — a malformed header is a loud error, not a skip).
+
+    Returns ``{"sample_rate", "frames": [(idx, offset, length,
+    bitrate_kbps, padding)], "n_frames", "duration_ms",
+    "mean_kbps"}``. Skips one leading ID3v2 tag (syncsafe size).
+    ``ValueError`` on garbage/truncation; ``NotImplementedError`` on
+    legal non-MPEG1-Layer-III streams.
+    """
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in payload[6:10]):
+            raise ValueError("ID3v2 size bytes not syncsafe")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+        if pos > len(payload):
+            raise ValueError("ID3v2 tag overruns payload")
+    frames: list[tuple[int, int, int, int, int]] = []
+    sample_rate = None
+    idx = 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at offset {pos}")
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0x3:
+            raise NotImplementedError("only MPEG-1 audio supported (not MPEG-2/2.5)")
+        if layer != 0x1:
+            raise NotImplementedError("only Layer III supported")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        kbps = MP3_BITRATE_KBPS[br_idx]
+        sr = MP3_SAMPLE_RATES[sr_idx]
+        if kbps is None or sr is None:
+            raise ValueError(f"invalid bitrate/samplerate index at offset {pos}")
+        if sample_rate is None:
+            sample_rate = sr
+        elif sr != sample_rate:
+            raise ValueError("sample rate changes mid-stream")
+        flen = mp3_frame_len(kbps, sr, padding)
+        if pos + flen > len(payload):
+            raise ValueError(f"truncated MP3 frame body at offset {pos}")
+        frames.append((idx, pos, flen, kbps, padding))
+        pos += flen
+        idx += 1
+    if not frames:
+        raise ValueError("no MP3 frames found")
+    duration_ms = len(frames) * MP3_SAMPLES_PER_FRAME * 1000 // sample_rate
+    return {
+        "sample_rate": sample_rate,
+        "frames": frames,
+        "n_frames": len(frames),
+        "duration_ms": duration_ms,
+        "mean_kbps": sum(f[3] for f in frames) / len(frames),
+    }
+
+
+# --- ISO BMFF (MP4) -----------------------------------------------------
+# Minimal-but-real box writer and a general sample-table reader:
+# stts/stsz/stsc/stco(co64) expansion to per-sample (offset, size,
+# decode timestamp), exactly what frame sampling needs. 14496-12 is the
+# public spec; the structure below is the standard progressive layout
+# (ftyp, mdat, moov).
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4(
+    frames: list[bytes],
+    deltas: list[int],
+    timescale: int = 1000,
+    width: int = 8,
+    height: int = 8,
+    codec: bytes = b"rawb",
+    first_chunk_samples: int = 2,
+    chunk_samples: int = 3,
+) -> bytes:
+    """Encode sample payloads as a one-video-track MP4: ftyp + mdat +
+    moov with a real sample table (stts RLE of ``deltas``, per-sample
+    stsz, a two-run stsc — first chunk ``first_chunk_samples`` samples,
+    later chunks ``chunk_samples`` — and absolute stco chunk offsets).
+    Multiple chunks on purpose: a parser that ignores stsc reads wrong
+    offsets, so the gate catches it.
+
+    The sample ENTRIES are opaque bytes (tests use real BMP images so a
+    sampled frame round-trips through the real image decoder); a real
+    deployment stores AVC NALs and fills the codec seam downstream.
+    """
+    if len(frames) != len(deltas):
+        raise ValueError("one delta per frame required")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # chunk layout
+    chunks: list[list[bytes]] = []
+    i = 0
+    while i < len(frames):
+        take = first_chunk_samples if not chunks else chunk_samples
+        chunks.append(frames[i : i + take])
+        i += take
+    mdat_payload = b"".join(b"".join(c) for c in chunks)
+    mdat_off = len(ftyp) + 8  # file offset of mdat payload start
+    offs, pos = [], mdat_off
+    for c in chunks:
+        offs.append(pos)
+        pos += sum(len(fb) for fb in c)
+
+    # stts: run-length encode deltas
+    runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(frames))
+        + b"".join(struct.pack(">I", len(fb)) for fb in frames),
+    )
+    # stsc runs from the ACTUAL per-chunk counts (the last chunk may be
+    # short and needs its own run — 14496-12 has no partial-chunk rule)
+    stsc_entries: list[tuple[int, int, int]] = []
+    for ci, c in enumerate(chunks, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != len(c):
+            stsc_entries.append((ci, len(c), 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    # minimal VisualSampleEntry (14496-12 8.5.2): 6 reserved + data_ref
+    # idx, 16 predefined/reserved, width/height, resolutions, frame
+    # count, compressorname(32), depth, predefined
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, vse))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    duration = sum(deltas)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 13)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (tag, payload_start, payload_end) for each box in
+    buf[start:end], handling 64-bit largesize boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {tag!r} overruns its container")
+        yield tag, body, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes after last box")
+
+
+def _find(buf: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, s, e in _walk_boxes(buf, start, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"missing {tag!r} box")
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO BMFF file's first video track into per-sample
+    extents: ``{"timescale", "duration_ms", "codec", "n_samples",
+    "samples": [(idx, offset, size, ts_units)], "width", "height"}``.
+
+    Real sample-table reconstruction: stsc runs expanded against the
+    stco/co64 chunk list, per-sample offsets accumulated within each
+    chunk, decode timestamps accumulated from stts runs. This is the
+    whole point at scale — sampling N frames from an hour-long file
+    reads N byte ranges, not the file.
+    """
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload")
+    top = list(_walk_boxes(payload, 0, len(payload)))
+    tags = [t for t, _, _ in top]
+    if b"moov" not in tags:
+        raise ValueError("missing moov box")
+    moov_s, moov_e = next((s, e) for t, s, e in top if t == b"moov")
+    trak_s, trak_e = _find(payload, moov_s, moov_e, b"trak")
+    mdia_s, mdia_e = _find(payload, trak_s, trak_e, b"mdia")
+    mdhd_s, mdhd_e = _find(payload, mdia_s, mdia_e, b"mdhd")
+    version = payload[mdhd_s]
+    if version == 0:
+        _, _, timescale, duration = struct.unpack_from(">IIII", payload, mdhd_s + 4)
+    elif version == 1:
+        _, _, timescale, duration = struct.unpack_from(">QQIQ", payload, mdhd_s + 4)
+    else:
+        raise NotImplementedError(f"mdhd version {version}")
+    minf_s, minf_e = _find(payload, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _find(payload, minf_s, minf_e, b"stbl")
+    boxes = {t: (s, e) for t, s, e in _walk_boxes(payload, stbl_s, stbl_e)}
+    for req in (b"stsd", b"stts", b"stsz", b"stsc"):
+        if req not in boxes:
+            raise ValueError(f"missing {req!r} box")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("missing stco/co64 box")
+
+    def full_payload(tag: bytes) -> tuple[bytes, int]:
+        s, e = boxes[tag]
+        return payload[s + 4 : e], payload[s]
+
+    # stsd: codec fourcc of entry 1
+    stsd, v = full_payload(b"stsd")
+    (n_entries,) = struct.unpack_from(">I", stsd, 0)
+    if n_entries < 1 or len(stsd) < 16:
+        raise ValueError("empty stsd")
+    codec = stsd[8:12].decode("latin-1")
+    # width/height live at fixed VisualSampleEntry offsets
+    width = height = None
+    if len(stsd) >= 4 + 8 + 28:
+        width, height = struct.unpack_from(">HH", stsd, 4 + 8 + 24)
+
+    stts, _ = full_payload(b"stts")
+    (n_runs,) = struct.unpack_from(">I", stts, 0)
+    deltas: list[int] = []
+    for r in range(n_runs):
+        cnt, delta = struct.unpack_from(">II", stts, 4 + r * 8)
+        deltas.extend([delta] * cnt)
+
+    stsz, _ = full_payload(b"stsz")
+    fixed, n_samples = struct.unpack_from(">II", stsz, 0)
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", stsz, 8))
+
+    if b"stco" in boxes:
+        stco, _ = full_payload(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", stco, 0)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", stco, 4))
+    else:
+        co64, _ = full_payload(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", co64, 0)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", co64, 4))
+
+    stsc, _ = full_payload(b"stsc")
+    (n_sc,) = struct.unpack_from(">I", stsc, 0)
+    sc = [struct.unpack_from(">III", stsc, 4 + r * 12) for r in range(n_sc)]
+    # expand stsc runs -> samples-per-chunk for every chunk
+    per_chunk: list[int] = []
+    for r, (first, spc, _desc) in enumerate(sc):
+        last = sc[r + 1][0] - 1 if r + 1 < n_sc else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError("stsc runs inconsistent with chunk count")
+
+    if len(deltas) != n_samples or sum(per_chunk) != n_samples:
+        raise ValueError("sample tables disagree on sample count")
+    samples: list[tuple[int, int, int, int]] = []
+    ts = 0
+    si = 0
+    for ci, spc in enumerate(per_chunk):
+        off = chunk_offs[ci]
+        for _ in range(spc):
+            size = sizes[si]
+            if off + size > len(payload):
+                raise ValueError(f"sample {si} overruns payload")
+            samples.append((si, off, size, ts))
+            off += size
+            ts += deltas[si]
+            si += 1
+    return {
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "codec": codec,
+        "n_samples": n_samples,
+        "samples": samples,
+        "width": width,
+        "height": height,
+    }
+
+
+# --- Spark kernels -------------------------------------------------------
+
+CONTAINER_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_kbps", T.DoubleType(), True),   # mp3 only
+        T.StructField("timescale", T.IntegerType(), True),  # mp4 only
+        T.StructField("codec", T.StringType(), True),       # mp4 stsd fourcc
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def extract_container_metadata(assets: DataFrame) -> DataFrame:
+    """Arrow-batched container metadata over (media_ref, payload, mime):
+    MP3 frame-walk or MP4 sample-table parse per row, poison-row on
+    corrupt payloads. The metadata pass a curation plan runs BEFORE
+    deciding which media to decode — at 100 TB this is the cheap scan
+    (struct parsing at memory bandwidth) and full decode is the
+    expensive one gated behind it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_ref", "container", "n_bytes", "sha1", "n_frames",
+                "duration_ms", "mean_kbps", "timescale", "codec", "err",
+            )}
+            for ref, payload, mime in zip(pdf["media_ref"], pdf["payload"], pdf["mime"]):
+                b = bytes(payload) if payload is not None else b""
+                rows["media_ref"].append(ref)
+                rows["n_bytes"].append(len(b))
+                rows["sha1"].append(hashlib.sha1(b).hexdigest())
+                container = nframes = dur = kbps = tsc = codec = err = None
+                try:
+                    m = (mime or "").lower()
+                    if m in ("audio/mpeg", "audio/mp3"):
+                        meta = parse_mp3(b)
+                        container = "mp3"
+                        nframes = meta["n_frames"]
+                        dur = meta["duration_ms"]
+                        kbps = meta["mean_kbps"]
+                    elif m in ("video/mp4", "audio/mp4", "video/quicktime"):
+                        meta = parse_mp4(b)
+                        container = "mp4"
+                        nframes = meta["n_samples"]
+                        dur = meta["duration_ms"]
+                        tsc = meta["timescale"]
+                        codec = meta["codec"]
+                    else:
+                        raise NotImplementedError(f"no container parser for mime {mime!r}")
+                except Exception as exc:  # poison row, keep the batch
+                    err = f"{type(exc).__name__}: {exc}"
+                rows["container"].append(container)
+                rows["n_frames"].append(nframes)
+                rows["duration_ms"].append(dur)
+                rows["mean_kbps"].append(kbps)
+                rows["timescale"].append(tsc)
+                rows["codec"].append(codec)
+                rows["err"].append(err)
+            yield pd.DataFrame(rows)
+
+    return assets.select("media_ref", "payload", "mime").mapInPandas(
+        run, CONTAINER_META_SCHEMA
+    )
+
+
+def sample_frames_mp4(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over MP4 payloads: parse the sample table,
+    then for each requested timestamp slice exactly the covering
+    sample's bytes (the sample whose decode window contains the
+    timestamp). Only sampled frames are materialized. Content decode of
+    the sliced bytes stays the codec seam — the gate stores BMP frames
+    so tests can round-trip them through the real image decoder."""
+    from .multimodal import FRAME_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, tss, payloads, errs = [], [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_mp4(b)
+                except Exception as exc:
+                    refs.append(ref)
+                    tss.append(-1)
+                    payloads.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+                    continue
+                tsc = meta["timescale"]
+                samples = meta["samples"]
+                total_ms = meta["duration_ms"]
+                t, si = 0, 0
+                while t < total_ms:
+                    units = t * tsc // 1000
+                    # samples are time-ordered; advance to the covering one
+                    while si + 1 < len(samples) and samples[si + 1][3] <= units:
+                        si += 1
+                    _, off, size, _ = samples[si]
+                    refs.append(ref)
+                    tss.append(t)
+                    payloads.append(b[off : off + size])
+                    errs.append(None)
+                    t += every_ms
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_ts": tss, "frame_payload": payloads, "err": errs}
+            )
+
+    return assets.select("media_ref", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- deterministic synthetic assets --------------------------------------
+# Same discipline as multimodal.synth_image/synth_audio: payloads derive
+# arithmetically from doc_id so the fixture oracle reproduces identical
+# bytes from the spec without sharing code.
+#   mp3: n_frames = 6 + doc_id%5; frame i bitrate index 1+((doc_id*7+i*3)%14),
+#        padding (doc_id+i)%2, body byte j = (doc_id*17 + i*29 + j*101)%256;
+#        ID3v2 tag when doc_id%3==0 with 10+doc_id%50 body bytes
+#        j -> (doc_id*5 + j*11)%256.
+#   mp4: n_samples = 5 + doc_id%4; sample k = BMP of synth_image(doc_id+k, 8, 8);
+#        delta k = 50 + (doc_id*13 + k*7)%200 (timescale 1000).
+
+
+def synth_mp3(doc_id: int) -> bytes:
+    n_frames = 6 + doc_id % 5
+    specs = [(1 + ((doc_id * 7 + i * 3) % 14), (doc_id + i) % 2) for i in range(n_frames)]
+    id3 = None
+    if doc_id % 3 == 0:
+        n = 10 + doc_id % 50
+        id3 = bytes((doc_id * 5 + j * 11) % 256 for j in range(n))
+    return encode_mp3_stream(
+        specs,
+        sr_idx=0,
+        body_byte=lambda i, j: (doc_id * 17 + i * 29 + j * 101) % 256,
+        id3_body=id3,
+    )
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    from .multimodal import encode_bmp, synth_image
+
+    n = 5 + doc_id % 4
+    frames = [encode_bmp(synth_image(doc_id + k, 8, 8)) for k in range(n)]
+    deltas = [50 + (doc_id * 13 + k * 7) % 200 for k in range(n)]
+    return encode_mp4(frames, deltas, timescale=1000)
+
+
+def synth_container_assets(docs: DataFrame, kind: str) -> DataFrame:
+    """documents(doc_id) → (media_ref, kind, payload, mime) with valid
+    MP3 frame streams / MP4 containers synthesized per row inside an
+    Arrow batch kernel."""
+    if kind not in ("mp3", "mp4"):
+        raise ValueError(f"unknown synthetic container kind {kind!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            if kind == "mp3":
+                payloads = [synth_mp3(int(d)) for d in ids]
+                mime, kname = "audio/mpeg", "audio"
+            else:
+                payloads = [synth_mp4(int(d)) for d in ids]
+                mime, kname = "video/mp4", "video"
+            yield pd.DataFrame(
+                {
+                    "media_ref": [f"{kind}-{d}" for d in ids],
+                    "kind": kname,
+                    "payload": payloads,
+                    "mime": mime,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, out_schema)

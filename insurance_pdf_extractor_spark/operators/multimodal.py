@@ -304,8 +304,9 @@ def decode_media(payload: bytes, mime: str) -> list[float]:
         return wav_features(*decode_wav(payload))
     raise NotImplementedError(
         f"mime {mime!r} requires a codec not in this container (MP3/MP4 "
-        "entropy/transform decode); real decode: image/bmp, image/png, "
-        "image/jpeg, audio/wav"
+        "entropy/transform decode of the CONTENT; container/framing "
+        "parse is real — operators/containers.py); real content decode: "
+        "image/bmp, image/png, image/jpeg, audio/wav"
     )
 
 

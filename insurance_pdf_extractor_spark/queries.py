@@ -2279,6 +2279,54 @@ def q_media_frame_sample(spark, sf_dir):
     return frames.select("media_ref", F.col("frame_ts").cast("long").alias("frame_ts"))
 
 
+@register("container_metadata", _fx("container_metadata"))
+def q_container_metadata(spark, sf_dir):
+    """Real MP3/MP4 container parsing (new r5 — operators/containers.py):
+    MPEG-1 Layer III frame-walk (VBR frame table, ID3v2 skip, duration/
+    bitrate math) and ISO BMFF sample-table reconstruction (box walk,
+    stts/stsz/stsc/stco expansion, stsd codec fourcc) through one Arrow
+    mapInPandas kernel. Payloads are valid containers synthesized
+    on-executor from an arithmetic per-doc_id spec; the fixture oracle
+    rebuilds the bytes with an independent scalar implementation
+    (sha1/n_bytes pin the encoders) and derives the expected metadata
+    FROM THE SPEC, never by parsing (n_frames/duration_ms/mean_kbps/
+    timescale/codec pin the parsers). Entropy/transform decode of the
+    framed payload stays the explicit codec seam."""
+    from .operators.containers import (
+        extract_container_metadata,
+        synth_container_assets,
+    )
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    assets = synth_container_assets(d, "mp3").unionByName(
+        synth_container_assets(d, "mp4")
+    )
+    return extract_container_metadata(assets).select(
+        "media_ref", "container", "n_bytes", "sha1", "n_frames",
+        "duration_ms", "mean_kbps", "timescale", "codec",
+    )
+
+
+@register("mp4_frame_sample", _fx("mp4_frame_sample"))
+def q_mp4_frame_sample(spark, sf_dir):
+    """REAL frame sampling over ISO BMFF (new r5): parse the sample
+    table, slice exactly the covering sample's bytes at each 100 ms
+    tick — offsets-only access, never the whole mdat. The sampled
+    payloads are real BMP frames; F.sha1 over the sliced bytes is
+    value-matched against the fixture's independently encoded frames,
+    so the gate pins sample→chunk mapping (stsc), offsets (stco),
+    timestamp coverage (stts), and the byte slicing end-to-end."""
+    from .operators.containers import sample_frames_mp4, synth_container_assets
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    assets = synth_container_assets(d, "mp4")
+    return sample_frames_mp4(assets, every_ms=100).select(
+        "media_ref",
+        F.col("frame_ts").cast("long").alias("frame_ts"),
+        F.sha1(F.col("frame_payload")).alias("frame_sha1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,252 @@
+"""MP3 frame-walk + MP4 sample-table parsers (operators/containers.py):
+structural roundtrips, stsc/chunk expansion, timestamp math, ID3 skip,
+loud rejection of corrupt/unsupported payloads, and the Spark kernels
+(metadata extraction + frame sampling with real BMP round-trip of the
+sliced sample bytes). Parity with an independent scalar implementation
+is pinned by the container_metadata / mp4_frame_sample driver gates."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from insurance_pdf_extractor_spark.operators.containers import (
+    MP3_BITRATE_KBPS,
+    encode_mp3_stream,
+    encode_mp4,
+    mp3_frame_len,
+    parse_mp3,
+    parse_mp4,
+    synth_mp3,
+    synth_mp4,
+)
+from insurance_pdf_extractor_spark.operators.multimodal import (
+    decode_bmp,
+    encode_bmp,
+    synth_image,
+)
+
+
+# --- MP3 ----------------------------------------------------------------
+
+def test_mp3_roundtrip_frame_table():
+    specs = [(9, 0), (9, 1), (14, 0), (1, 1)]
+    b = encode_mp3_stream(specs)
+    m = parse_mp3(b)
+    assert m["n_frames"] == 4
+    assert m["sample_rate"] == 44100
+    assert [f[3] for f in m["frames"]] == [128, 128, 320, 32]
+    assert [f[4] for f in m["frames"]] == [0, 1, 0, 1]
+    # offsets are dense: each frame starts where the previous ended
+    pos = 0
+    for _, off, ln, kbps, pad in m["frames"]:
+        assert off == pos and ln == mp3_frame_len(kbps, 44100, pad)
+        pos += ln
+    assert pos == len(b)
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+
+
+def test_mp3_id3v2_skip():
+    body = bytes(range(200))
+    with_tag = encode_mp3_stream([(5, 0)], id3_body=body)
+    without = encode_mp3_stream([(5, 0)])
+    assert parse_mp3(with_tag)["frames"][0][1] == 10 + 200  # offset past tag
+    assert parse_mp3(without)["frames"][0][1] == 0
+    assert parse_mp3(with_tag)["n_frames"] == parse_mp3(without)["n_frames"]
+
+
+def test_mp3_rejects_corrupt_and_unsupported():
+    good = encode_mp3_stream([(5, 0), (5, 0)])
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(b"\x00" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp3(good[:-10])
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3(b"")
+    # flip version bits to MPEG-2 (version field 10)
+    b = bytearray(good)
+    b[1] = (b[1] & ~0x18) | 0x10
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_mp3(bytes(b))
+    # flip layer bits to Layer I (11)
+    b = bytearray(good)
+    b[1] = (b[1] & ~0x06) | 0x06
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        parse_mp3(bytes(b))
+    # invalid bitrate index 15
+    b = bytearray(good)
+    b[2] |= 0xF0
+    with pytest.raises(ValueError, match="invalid bitrate"):
+        parse_mp3(bytes(b))
+
+
+def test_mp3_vbr_mean():
+    specs = [(1, 0), (14, 0)]  # 32 + 320 kbps
+    m = parse_mp3(encode_mp3_stream(specs))
+    assert m["mean_kbps"] == (32 + 320) / 2
+    assert MP3_BITRATE_KBPS[1] == 32 and MP3_BITRATE_KBPS[14] == 320
+
+
+# --- MP4 ----------------------------------------------------------------
+
+def test_mp4_sample_table_roundtrip():
+    frames = [bytes([i]) * (10 + i) for i in range(7)]
+    deltas = [100, 100, 50, 50, 50, 200, 100]
+    b = encode_mp4(frames, deltas, timescale=1000)
+    v = parse_mp4(b)
+    assert v["n_samples"] == 7
+    assert v["timescale"] == 1000
+    assert v["duration_ms"] == sum(deltas)
+    assert v["codec"] == "rawb"
+    # every sample slices back to its exact payload, timestamps cumulative
+    ts = 0
+    for k, (idx, off, size, t) in enumerate(v["samples"]):
+        assert idx == k and t == ts
+        assert b[off : off + size] == frames[k]
+        ts += deltas[k]
+
+
+def test_mp4_multi_chunk_offsets_respect_stsc():
+    """7 samples at first_chunk=2, rest=3 → chunks of 2/3/2: a parser
+    ignoring stsc (assuming one chunk or uniform chunks) reads wrong
+    offsets for every sample after the first chunk."""
+    frames = [bytes([k]) * 8 for k in range(7)]
+    b = encode_mp4(frames, [10] * 7)
+    v = parse_mp4(b)
+    # chunk boundaries are non-contiguous in the file only if stco says
+    # so; here they are dense, but the stsc expansion itself is what
+    # maps sample->chunk. Verify content, which catches any mismap.
+    for k, (_, off, size, _) in enumerate(v["samples"]):
+        assert b[off : off + size] == frames[k]
+
+
+def test_mp4_real_bmp_frames_decode():
+    n = 6
+    frames = [encode_bmp(synth_image(100 + k, 8, 8)) for k in range(n)]
+    b = encode_mp4(frames, [40] * n)
+    v = parse_mp4(b)
+    for k, (_, off, size, _) in enumerate(v["samples"]):
+        assert (decode_bmp(b[off : off + size]) == synth_image(100 + k, 8, 8)).all()
+
+
+def test_mp4_rejects_corrupt():
+    good = encode_mp4([b"xx", b"yyy"], [10, 10])
+    with pytest.raises(ValueError):
+        parse_mp4(b"notanmp4")
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(good[: good.index(b"moov") - 4])  # drop moov
+    # truncate mid-moov: box overruns its container
+    with pytest.raises(ValueError):
+        parse_mp4(good[:-20])
+    # corrupt a box size field inside stbl
+    b = bytearray(good)
+    i = b.index(b"stsz") - 4
+    struct.pack_into(">I", b, i, 1 << 30)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(b))
+
+
+def test_mp4_largesize_and_co64():
+    """64-bit box sizes and co64 chunk offsets parse identically."""
+    frames = [bytes([k]) * 6 for k in range(4)]
+    b = bytearray(encode_mp4(frames, [25] * 4))
+    # rewrite mdat to largesize form: size=1 + 64-bit size after tag
+    i = b.index(b"mdat") - 4
+    (size,) = struct.unpack_from(">I", b, i)
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", size + 8) + bytes(b[i + 8 : i + size])
+    shift = 8  # payload moved 8 bytes right
+    rest = bytes(b[i + size :])
+    head = bytes(b[:i])
+    # patch stco offsets by +shift in the tail (moov comes after mdat)
+    v0 = parse_mp4(bytes(b))
+    out = bytearray(head + big + rest)
+    j = out.index(b"stco") + 4
+    (n_chunks,) = struct.unpack_from(">I", out, j + 4)
+    for c in range(n_chunks):
+        (off,) = struct.unpack_from(">I", out, j + 8 + 4 * c)
+        struct.pack_into(">I", out, j + 8 + 4 * c, off + shift)
+    v1 = parse_mp4(bytes(out))
+    assert [s[2] for s in v1["samples"]] == [s[2] for s in v0["samples"]]
+    for k, (_, off, size_, _) in enumerate(v1["samples"]):
+        assert bytes(out[off : off + size_]) == frames[k]
+
+
+def test_synth_specs_deterministic():
+    for d in (0, 3, 41):
+        assert synth_mp3(d) == synth_mp3(d)
+        assert synth_mp4(d) == synth_mp4(d)
+        assert parse_mp3(synth_mp3(d))["n_frames"] == 6 + d % 5
+        assert parse_mp4(synth_mp4(d))["n_samples"] == 5 + d % 4
+
+
+# --- Spark kernels --------------------------------------------------------
+
+def test_extract_container_metadata_kernel(spark):
+    from insurance_pdf_extractor_spark.operators.containers import (
+        extract_container_metadata,
+        synth_container_assets,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    assets = synth_container_assets(docs, "mp3").unionByName(
+        synth_container_assets(docs, "mp4")
+    )
+    got = {r["media_ref"]: r for r in extract_container_metadata(assets).collect()}
+    assert len(got) == 24
+    for d in range(12):
+        m = got[f"mp3-{d}"]
+        assert m["container"] == "mp3" and m["err"] is None
+        assert m["n_frames"] == 6 + d % 5
+        assert m["duration_ms"] == (6 + d % 5) * 1152 * 1000 // 44100
+        assert m["sha1"] == hashlib.sha1(synth_mp3(d)).hexdigest()
+        v = got[f"mp4-{d}"]
+        assert v["container"] == "mp4" and v["codec"] == "rawb"
+        assert v["timescale"] == 1000 and v["err"] is None
+        assert v["n_frames"] == 5 + d % 4
+
+
+def test_container_metadata_poison_rows(spark):
+    from insurance_pdf_extractor_spark.operators.containers import (
+        extract_container_metadata,
+    )
+
+    rows = [
+        ("ok", synth_mp3(1), "audio/mpeg"),
+        ("bad-mp3", b"\x00\x01\x02", "audio/mpeg"),
+        ("bad-mp4", b"garbage!", "video/mp4"),
+        ("no-parser", b"1234", "application/octet-stream"),
+    ]
+    assets = spark.createDataFrame(rows, "media_ref string, payload binary, mime string")
+    got = {r["media_ref"]: r for r in extract_container_metadata(assets).collect()}
+    assert got["ok"]["err"] is None and got["ok"]["n_frames"] == 7
+    for ref in ("bad-mp3", "bad-mp4", "no-parser"):
+        assert got[ref]["err"] is not None and got[ref]["container"] is None
+    assert "NotImplementedError" in got["no-parser"]["err"]
+
+
+def test_sample_frames_mp4_kernel(spark):
+    from insurance_pdf_extractor_spark.operators.containers import (
+        sample_frames_mp4,
+        synth_container_assets,
+    )
+
+    docs = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    assets = synth_container_assets(docs, "mp4")
+    frames = sample_frames_mp4(assets, every_ms=100).collect()
+    by_ref: dict[str, list] = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for d in (3, 4):
+        meta = parse_mp4(synth_mp4(d))
+        rows = sorted(by_ref[f"mp4-{d}"], key=lambda r: r["frame_ts"])
+        assert [r["frame_ts"] for r in rows] == list(range(0, meta["duration_ms"], 100))
+        # each sampled payload is the covering sample's exact bytes and
+        # round-trips through the real BMP decoder
+        for r in rows:
+            units = r["frame_ts"]  # timescale 1000 → units == ms
+            k = max(i for i, (_, _, _, ts) in enumerate(meta["samples"]) if ts <= units)
+            img = decode_bmp(bytes(r["frame_payload"]))
+            assert (img == synth_image(d + k, 8, 8)).all()
+        assert all(r["err"] is None for r in rows)

@@ -1177,6 +1177,197 @@ def fx_kmeans_semantic(embs, k=8, n_iter=4, threshold=0.4) -> pa.Table:
     )
 
 
+def _fx_mp3_bytes(doc_id: int) -> bytes:
+    """Independent MPEG-1 Layer III frame-stream builder from the
+    synth_mp3 spec: pure scalar header math against the public ISO
+    11172-3 tables (bitrate/samplerate indices, 144*kbps*1000//sr+pad
+    frame length), its own ID3v2 syncsafe packing — no shared code with
+    operators/containers.py."""
+    bitrates = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None]
+    sr = 44100
+    out = bytearray()
+    if doc_id % 3 == 0:
+        n = 10 + doc_id % 50
+        out += b"ID3\x04\x00\x00"
+        out += bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        out += bytes((doc_id * 5 + j * 11) % 256 for j in range(n))
+    n_frames = 6 + doc_id % 5
+    for i in range(n_frames):
+        br_idx = 1 + ((doc_id * 7 + i * 3) % 14)
+        padding = (doc_id + i) % 2
+        flen = (144 * bitrates[br_idx] * 1000) // sr + padding
+        out += bytes([0xFF, 0xFB, (br_idx << 4) | (0 << 2) | (padding << 1), 0xC4])
+        out += bytes((doc_id * 17 + i * 29 + j * 101) % 256 for j in range(flen - 4))
+    return bytes(out)
+
+
+def _fx_mp3_meta(doc_id: int) -> tuple[int, int, float]:
+    """(n_frames, duration_ms, mean_kbps) straight from the spec —
+    never by parsing, so the gate pins encoder AND parser."""
+    bitrates = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None]
+    n_frames = 6 + doc_id % 5
+    kbps = [bitrates[1 + ((doc_id * 7 + i * 3) % 14)] for i in range(n_frames)]
+    return n_frames, n_frames * 1152 * 1000 // 44100, sum(kbps) / n_frames
+
+
+def _fx_mp4_deltas(doc_id: int) -> list[int]:
+    n = 5 + doc_id % 4
+    return [50 + (doc_id * 13 + k * 7) % 200 for k in range(n)]
+
+
+def _fx_mp4_bytes(doc_id: int) -> bytes:
+    """Independent ISO BMFF writer from the synth_mp4 spec (one video
+    track, ftyp+mdat+moov progressive layout, stsd rawb VisualSample-
+    Entry, stts RLE, per-sample stsz, actual-chunk-count stsc runs,
+    absolute stco): scalar struct packing, its own box framing."""
+    frames = [_fx_bmp_bytes(doc_id + k, 8, 8) for k in range(len(_fx_mp4_deltas(doc_id)))]
+    deltas = _fx_mp4_deltas(doc_id)
+    timescale, w, h = 1000, 8, 8
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    chunks = []
+    i = 0
+    while i < len(frames):
+        take = 2 if not chunks else 3
+        chunks.append(frames[i : i + take])
+        i += take
+    mdat_payload = b"".join(b"".join(c) for c in chunks)
+    offs, pos = [], len(ftyp) + 8
+    for c in chunks:
+        offs.append(pos)
+        pos += sum(len(fb) for fb in c)
+    runs = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = full(b"stts", 0, 0, struct.pack(">I", len(runs)) + b"".join(struct.pack(">II", n, d) for n, d in runs))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, len(frames)) + b"".join(struct.pack(">I", len(fb)) for fb in frames))
+    sc_entries = []
+    for ci, c in enumerate(chunks, start=1):
+        if not sc_entries or sc_entries[-1][1] != len(c):
+            sc_entries.append((ci, len(c), 1))
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", len(sc_entries)) + b"".join(struct.pack(">III", *e) for e in sc_entries))
+    stco = full(b"stco", 0, 0, struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs))
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", w, h) + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"rawb", vse))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    duration = sum(deltas)
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 13)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    return ftyp + box(b"mdat", mdat_payload) + box(b"moov", mvhd + trak)
+
+
+def fx_container_metadata(docs) -> pa.Table:
+    """Expected container metadata for docs 0-59, mp3 + mp4 branches.
+    n_bytes/sha1 pin the ENCODERS byte-for-byte (independent scalar
+    builders above); n_frames/duration_ms/mean_kbps/timescale/codec
+    come arithmetically from the spec, pinning the PARSERS too."""
+    rows = {k: [] for k in (
+        "media_ref", "container", "n_bytes", "sha1", "n_frames",
+        "duration_ms", "mean_kbps", "timescale", "codec",
+    )}
+    for doc_id, _text in docs:
+        if doc_id >= 60:
+            continue
+        b = _fx_mp3_bytes(doc_id)
+        nf, dur, kbps = _fx_mp3_meta(doc_id)
+        rows["media_ref"].append(f"mp3-{doc_id}")
+        rows["container"].append("mp3")
+        rows["n_bytes"].append(len(b))
+        rows["sha1"].append(hashlib.sha1(b).hexdigest())
+        rows["n_frames"].append(nf)
+        rows["duration_ms"].append(dur)
+        rows["mean_kbps"].append(kbps)
+        rows["timescale"].append(None)
+        rows["codec"].append(None)
+        v = _fx_mp4_bytes(doc_id)
+        deltas = _fx_mp4_deltas(doc_id)
+        rows["media_ref"].append(f"mp4-{doc_id}")
+        rows["container"].append("mp4")
+        rows["n_bytes"].append(len(v))
+        rows["sha1"].append(hashlib.sha1(v).hexdigest())
+        rows["n_frames"].append(len(deltas))
+        rows["duration_ms"].append(sum(deltas))
+        rows["mean_kbps"].append(None)
+        rows["timescale"].append(1000)
+        rows["codec"].append("rawb")
+    return pa.table(
+        {
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "container": pa.array(rows["container"], pa.string()),
+            "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
+            "sha1": pa.array(rows["sha1"], pa.string()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+            "mean_kbps": pa.array(rows["mean_kbps"], pa.float64()),
+            "timescale": pa.array(rows["timescale"], pa.int32()),
+            "codec": pa.array(rows["codec"], pa.string()),
+        }
+    )
+
+
+def fx_mp4_frame_sample(docs, every_ms: int = 100) -> pa.Table:
+    """Expected (media_ref, frame_ts, frame_sha1) for sampling every
+    100 ms from the synth MP4s: the covering sample at each timestamp
+    is derived from the spec's cumulative deltas; frame_sha1 is the
+    sha1 of the independently built BMP sample bytes."""
+    refs, tss, shas = [], [], []
+    for doc_id, _text in docs:
+        if doc_id >= 60:
+            continue
+        deltas = _fx_mp4_deltas(doc_id)
+        cum = []
+        t = 0
+        for d in deltas:
+            cum.append(t)
+            t += d
+        total = t
+        ts = 0
+        while ts < total:
+            k = max(i for i, c in enumerate(cum) if c <= ts)
+            refs.append(f"mp4-{doc_id}")
+            tss.append(ts)
+            shas.append(hashlib.sha1(_fx_bmp_bytes(doc_id + k, 8, 8)).hexdigest())
+            ts += every_ms
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_ts": pa.array(tss, pa.int64()),
+            "frame_sha1": pa.array(shas, pa.string()),
+        }
+    )
+
+
 def fx_bpe_tokens(docs) -> pa.Table:
     """Expected BPE token counts under the production-sized merges
     table (12k merges — bpe.production_merges, the r4 real-vocab ask).
@@ -1235,6 +1426,8 @@ def main():
         "minhash_lsh_pairs": fx_minhash_pairs(docs),
         "dedup_clusters": fx_dedup_clusters(docs),
         "media_features": fx_media_features(docs),
+        "container_metadata": fx_container_metadata(docs),
+        "mp4_frame_sample": fx_mp4_frame_sample(docs),
         "checkpoint_lineage": fx_checkpoint_lineage(docs),
         "ann_bucketed_topk": fx_ann_bucketed(embs),
         "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
