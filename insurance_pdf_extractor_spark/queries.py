@@ -385,15 +385,26 @@ def q_ordered_slices(spark, sf_dir):
     """
     WITH purch AS (
       SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), base AS (
+      SELECT e.event_id, e.user_id, e.ts, e.event_type,
+             p.event_id AS purchase_id, p.value AS purchase_value, p.ts AS purchase_ts
+      FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+      ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
     )
-    SELECT e.event_id, e.user_id, e.ts, e.event_type,
-           p.event_id AS purchase_id, p.value AS purchase_value, p.ts AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
-    ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+    SELECT 'plain' AS src, * FROM base
+    UNION ALL
+    SELECT 'bucketed' AS src, * FROM base
     """,
 )
 def q_asof_join(spark, sf_dir):
-    from .operators.asof import asof_join
+    """src='plain': operators/asof.py union-tag window merge.
+    src='bucketed' (r5): asof_join_bucketed — the hot-key defusal
+    (running-latest window per (key, 13-minute bucket) with cross-
+    bucket seed rows). ONE native-ASOF oracle serves both: the bucketed
+    construction must reproduce the plain as-of result exactly, and 13
+    minutes deliberately misaligns with the events timestamp grid so
+    bucket boundaries fall mid-stream."""
+    from .operators.asof import asof_join, asof_join_bucketed
 
     ev = _load(spark, sf_dir, "events")
     probe = ev.filter(F.col("event_type") != "purchase").select(
@@ -406,62 +417,18 @@ def q_asof_join(spark, sf_dir):
         F.col("value").alias("purchase_value"),
         F.col("ts").alias("purchase_ts"),
     )
-    return asof_join(
-        probe,
-        build,
+    kw = dict(
         on="user_id",
         probe_ts="ts",
         build_ts="_bts",
         payload_cols=["purchase_id", "purchase_value", "purchase_ts"],
         tiebreak="purchase_id",
     )
-
-
-# ---------------------------------------------------------------------------
-# As-of join, hot-key bucketed variant — same semantics and same DuckDB
-# native-ASOF oracle as asof_join, but the running-latest window runs
-# per (key, 13-minute bucket) with cross-bucket seed rows
-# (operators/asof.py:asof_join_bucketed). 13 minutes deliberately
-# misaligns with the events table's timestamp grid so bucket
-# boundaries fall mid-stream; the driver value-hash proves the
-# seed-carry construction reproduces the plain as-of result exactly.
-# ---------------------------------------------------------------------------
-@register(
-    "asof_join_bucketed",
-    """
-    WITH purch AS (
-      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    plain = asof_join(probe, build, **kw).select(F.lit("plain").alias("src"), "*")
+    bucketed = asof_join_bucketed(probe, build, bucket_width="13 minutes", **kw).select(
+        F.lit("bucketed").alias("src"), "*"
     )
-    SELECT e.event_id, e.user_id, e.ts, e.event_type,
-           p.event_id AS purchase_id, p.value AS purchase_value, p.ts AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
-    ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
-    """,
-)
-def q_asof_join_bucketed(spark, sf_dir):
-    from .operators.asof import asof_join_bucketed
-
-    ev = _load(spark, sf_dir, "events")
-    probe = ev.filter(F.col("event_type") != "purchase").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    build = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("_bts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("value").alias("purchase_value"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    return asof_join_bucketed(
-        probe,
-        build,
-        on="user_id",
-        probe_ts="ts",
-        build_ts="_bts",
-        payload_cols=["purchase_id", "purchase_value", "purchase_ts"],
-        tiebreak="purchase_id",
-        bucket_width="13 minutes",
-    )
+    return plain.unionByName(bucketed)
 
 
 # ---------------------------------------------------------------------------
@@ -2251,80 +2218,80 @@ def q_checkpoint_lineage(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal frame sampling: one row per sampled timestamp per video
-# asset (explode-by-duration plumbing a real frame sampler uses;
-# operators/multimodal.py:sample_frames). Durations derived from
-# n_chars so the oracle can enumerate the same timestamps.
+# media containers: ONE union-tagged gate for the container/framing
+# layer (operators/containers.py + multimodal.sample_frames), so the
+# registry stays at the driver's 50-query window.
 # ---------------------------------------------------------------------------
-@register(
-    "media_frame_sample",
-    """
-    SELECT 'v-' || CAST(doc_id AS VARCHAR) AS media_ref,
-           CAST(unnest(generate_series(0,
-                greatest(CAST(floor(n_chars / 1000.0) AS INT) - 1, 0))) * 1000
-                AS BIGINT) AS frame_ts
-    FROM documents WHERE doc_id % 3 = 0
-    """,
-)
-def q_media_frame_sample(spark, sf_dir):
+@register("media_containers", _fx("media_containers"))
+def q_media_containers(spark, sf_dir):
+    """Three src branches through the real container parsers (r5):
+
+    src='meta' — MP3 frame-walk (MPEG-1 Layer III VBR frame table,
+    ID3v2 syncsafe skip, duration/bitrate math) + ISO BMFF sample-table
+    reconstruction (box walk, stts/stsz/stsc/stco expansion, stsd codec
+    fourcc) through one Arrow mapInPandas kernel. Payloads are valid
+    containers synthesized on-executor from an arithmetic per-doc_id
+    spec; the fixture oracle rebuilds the bytes with an INDEPENDENT
+    scalar implementation (sha1/n_bytes pin the encoders) and derives
+    expected metadata FROM THE SPEC, never by parsing (n_frames/
+    duration_ms/mean_kbps/timescale/codec pin the parsers).
+
+    src='frames' — REAL frame sampling over ISO BMFF: parse the sample
+    table, slice exactly the covering sample's bytes at each 100 ms
+    tick (offsets-only access, never the whole mdat). F.sha1 over the
+    sliced bytes is value-matched against the fixture's independently
+    encoded BMP frames, pinning stsc chunk mapping, stco offsets, stts
+    coverage, and the byte slicing end-to-end.
+
+    src='stub' — the explode-by-duration sampling plumbing
+    (multimodal.sample_frames) over synthetic durations from n_chars;
+    entropy/transform decode of framed CONTENT stays the explicit
+    codec seam."""
+    from .operators.containers import (
+        extract_container_metadata,
+        sample_frames_mp4,
+        synth_container_assets,
+    )
     from .operators.multimodal import sample_frames
 
-    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    assets = d.select(
+    d = _load(spark, sf_dir, "documents")
+    d60 = d.filter(F.col("doc_id") < 60)
+    assets = synth_container_assets(d60, "mp3").unionByName(
+        synth_container_assets(d60, "mp4")
+    )
+    nul = lambda t: F.lit(None).cast(t)
+    meta = extract_container_metadata(assets).select(
+        F.lit("meta").alias("src"),
+        "media_ref", "container", "n_bytes", "sha1", "n_frames",
+        "duration_ms", "mean_kbps", "timescale", "codec",
+        nul("long").alias("frame_ts"), nul("string").alias("frame_sha1"),
+    )
+    frames = sample_frames_mp4(synth_container_assets(d60, "mp4"), every_ms=100).select(
+        F.lit("frames").alias("src"),
+        "media_ref",
+        nul("string").alias("container"), nul("long").alias("n_bytes"),
+        nul("string").alias("sha1"), nul("int").alias("n_frames"),
+        nul("long").alias("duration_ms"), nul("double").alias("mean_kbps"),
+        nul("int").alias("timescale"), nul("string").alias("codec"),
+        F.col("frame_ts").cast("long").alias("frame_ts"),
+        F.sha1(F.col("frame_payload")).alias("frame_sha1"),
+    )
+    stub_assets = d.filter(F.col("doc_id") % 3 == 0).select(
         F.concat(F.lit("v-"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("video").alias("kind"),
         F.col("n_chars").cast("long").alias("duration_ms"),
     )
-    frames = sample_frames(assets, every_ms=1000)
-    return frames.select("media_ref", F.col("frame_ts").cast("long").alias("frame_ts"))
-
-
-@register("container_metadata", _fx("container_metadata"))
-def q_container_metadata(spark, sf_dir):
-    """Real MP3/MP4 container parsing (new r5 — operators/containers.py):
-    MPEG-1 Layer III frame-walk (VBR frame table, ID3v2 skip, duration/
-    bitrate math) and ISO BMFF sample-table reconstruction (box walk,
-    stts/stsz/stsc/stco expansion, stsd codec fourcc) through one Arrow
-    mapInPandas kernel. Payloads are valid containers synthesized
-    on-executor from an arithmetic per-doc_id spec; the fixture oracle
-    rebuilds the bytes with an independent scalar implementation
-    (sha1/n_bytes pin the encoders) and derives the expected metadata
-    FROM THE SPEC, never by parsing (n_frames/duration_ms/mean_kbps/
-    timescale/codec pin the parsers). Entropy/transform decode of the
-    framed payload stays the explicit codec seam."""
-    from .operators.containers import (
-        extract_container_metadata,
-        synth_container_assets,
-    )
-
-    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    assets = synth_container_assets(d, "mp3").unionByName(
-        synth_container_assets(d, "mp4")
-    )
-    return extract_container_metadata(assets).select(
-        "media_ref", "container", "n_bytes", "sha1", "n_frames",
-        "duration_ms", "mean_kbps", "timescale", "codec",
-    )
-
-
-@register("mp4_frame_sample", _fx("mp4_frame_sample"))
-def q_mp4_frame_sample(spark, sf_dir):
-    """REAL frame sampling over ISO BMFF (new r5): parse the sample
-    table, slice exactly the covering sample's bytes at each 100 ms
-    tick — offsets-only access, never the whole mdat. The sampled
-    payloads are real BMP frames; F.sha1 over the sliced bytes is
-    value-matched against the fixture's independently encoded frames,
-    so the gate pins sample→chunk mapping (stsc), offsets (stco),
-    timestamp coverage (stts), and the byte slicing end-to-end."""
-    from .operators.containers import sample_frames_mp4, synth_container_assets
-
-    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    assets = synth_container_assets(d, "mp4")
-    return sample_frames_mp4(assets, every_ms=100).select(
+    stub = sample_frames(stub_assets, every_ms=1000).select(
+        F.lit("stub").alias("src"),
         "media_ref",
+        nul("string").alias("container"), nul("long").alias("n_bytes"),
+        nul("string").alias("sha1"), nul("int").alias("n_frames"),
+        nul("long").alias("duration_ms"), nul("double").alias("mean_kbps"),
+        nul("int").alias("timescale"), nul("string").alias("codec"),
         F.col("frame_ts").cast("long").alias("frame_ts"),
-        F.sha1(F.col("frame_payload")).alias("frame_sha1"),
+        nul("string").alias("frame_sha1"),
     )
+    return meta.unionByName(frames).unionByName(stub)
 
 
 # ---------------------------------------------------------------------------
@@ -2589,7 +2556,7 @@ _PRIORITY = [
     "minhash_lsh_pairs",
     "sequence_packing",
     "asof_join",
-    "media_frame_sample",
+    "media_containers",
     "streaming_windowed_metrics",
     "schema_evolution",
     "export_roundtrip",

@@ -3,7 +3,7 @@ structural roundtrips, stsc/chunk expansion, timestamp math, ID3 skip,
 loud rejection of corrupt/unsupported payloads, and the Spark kernels
 (metadata extraction + frame sampling with real BMP round-trip of the
 sliced sample bytes). Parity with an independent scalar implementation
-is pinned by the container_metadata / mp4_frame_sample driver gates."""
+is pinned by the media_containers driver gate."""
 
 from __future__ import annotations
 

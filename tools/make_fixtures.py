@@ -1287,42 +1287,57 @@ def _fx_mp4_bytes(doc_id: int) -> bytes:
     return ftyp + box(b"mdat", mdat_payload) + box(b"moov", mvhd + trak)
 
 
-def fx_container_metadata(docs) -> pa.Table:
-    """Expected container metadata for docs 0-59, mp3 + mp4 branches.
-    n_bytes/sha1 pin the ENCODERS byte-for-byte (independent scalar
-    builders above); n_frames/duration_ms/mean_kbps/timescale/codec
-    come arithmetically from the spec, pinning the PARSERS too."""
-    rows = {k: [] for k in (
-        "media_ref", "container", "n_bytes", "sha1", "n_frames",
-        "duration_ms", "mean_kbps", "timescale", "codec",
-    )}
-    for doc_id, _text in docs:
-        if doc_id >= 60:
-            continue
-        b = _fx_mp3_bytes(doc_id)
-        nf, dur, kbps = _fx_mp3_meta(doc_id)
-        rows["media_ref"].append(f"mp3-{doc_id}")
-        rows["container"].append("mp3")
-        rows["n_bytes"].append(len(b))
-        rows["sha1"].append(hashlib.sha1(b).hexdigest())
-        rows["n_frames"].append(nf)
-        rows["duration_ms"].append(dur)
-        rows["mean_kbps"].append(kbps)
-        rows["timescale"].append(None)
-        rows["codec"].append(None)
-        v = _fx_mp4_bytes(doc_id)
-        deltas = _fx_mp4_deltas(doc_id)
-        rows["media_ref"].append(f"mp4-{doc_id}")
-        rows["container"].append("mp4")
-        rows["n_bytes"].append(len(v))
-        rows["sha1"].append(hashlib.sha1(v).hexdigest())
-        rows["n_frames"].append(len(deltas))
-        rows["duration_ms"].append(sum(deltas))
-        rows["mean_kbps"].append(None)
-        rows["timescale"].append(1000)
-        rows["codec"].append("rawb")
+def fx_media_containers(docs) -> pa.Table:
+    """ONE union-tagged expected table for the container gate.
+    src='meta': mp3 + mp4 metadata for docs 0-59 — n_bytes/sha1 pin the
+    ENCODERS byte-for-byte (independent scalar builders above);
+    n_frames/duration_ms/mean_kbps/timescale/codec come arithmetically
+    from the spec, pinning the PARSERS. src='frames': every-100ms MP4
+    frame sampling — the covering sample at each timestamp from the
+    spec's cumulative deltas, frame_sha1 over the independently built
+    BMP bytes. src='stub': explode-by-duration sampling timestamps from
+    n_chars (doc_id%3==0), the SQL branch the old media_frame_sample
+    gate carried."""
+    cols = ("src", "media_ref", "container", "n_bytes", "sha1", "n_frames",
+            "duration_ms", "mean_kbps", "timescale", "codec", "frame_ts",
+            "frame_sha1")
+    rows = {k: [] for k in cols}
+
+    def emit(**kw):
+        for k in cols:
+            rows[k].append(kw.get(k))
+
+    for doc_id, text in docs:
+        if doc_id < 60:
+            b = _fx_mp3_bytes(doc_id)
+            nf, dur, kbps = _fx_mp3_meta(doc_id)
+            emit(src="meta", media_ref=f"mp3-{doc_id}", container="mp3",
+                 n_bytes=len(b), sha1=hashlib.sha1(b).hexdigest(),
+                 n_frames=nf, duration_ms=dur, mean_kbps=kbps)
+            v = _fx_mp4_bytes(doc_id)
+            deltas = _fx_mp4_deltas(doc_id)
+            emit(src="meta", media_ref=f"mp4-{doc_id}", container="mp4",
+                 n_bytes=len(v), sha1=hashlib.sha1(v).hexdigest(),
+                 n_frames=len(deltas), duration_ms=sum(deltas),
+                 timescale=1000, codec="rawb")
+            cum, t = [], 0
+            for d in deltas:
+                cum.append(t)
+                t += d
+            ts = 0
+            while ts < t:
+                k = max(i for i, c in enumerate(cum) if c <= ts)
+                emit(src="frames", media_ref=f"mp4-{doc_id}", frame_ts=ts,
+                     frame_sha1=hashlib.sha1(_fx_bmp_bytes(doc_id + k, 8, 8)).hexdigest())
+                ts += 100
+        if doc_id % 3 == 0:
+            # multimodal.sample_frames: sequence(0, max(dur//1000 - 1, 0))
+            n_ticks = max(len(text) // 1000 - 1, 0) + 1
+            for k in range(n_ticks):
+                emit(src="stub", media_ref=f"v-{doc_id}", frame_ts=k * 1000)
     return pa.table(
         {
+            "src": pa.array(rows["src"], pa.string()),
             "media_ref": pa.array(rows["media_ref"], pa.string()),
             "container": pa.array(rows["container"], pa.string()),
             "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
@@ -1332,38 +1347,8 @@ def fx_container_metadata(docs) -> pa.Table:
             "mean_kbps": pa.array(rows["mean_kbps"], pa.float64()),
             "timescale": pa.array(rows["timescale"], pa.int32()),
             "codec": pa.array(rows["codec"], pa.string()),
-        }
-    )
-
-
-def fx_mp4_frame_sample(docs, every_ms: int = 100) -> pa.Table:
-    """Expected (media_ref, frame_ts, frame_sha1) for sampling every
-    100 ms from the synth MP4s: the covering sample at each timestamp
-    is derived from the spec's cumulative deltas; frame_sha1 is the
-    sha1 of the independently built BMP sample bytes."""
-    refs, tss, shas = [], [], []
-    for doc_id, _text in docs:
-        if doc_id >= 60:
-            continue
-        deltas = _fx_mp4_deltas(doc_id)
-        cum = []
-        t = 0
-        for d in deltas:
-            cum.append(t)
-            t += d
-        total = t
-        ts = 0
-        while ts < total:
-            k = max(i for i, c in enumerate(cum) if c <= ts)
-            refs.append(f"mp4-{doc_id}")
-            tss.append(ts)
-            shas.append(hashlib.sha1(_fx_bmp_bytes(doc_id + k, 8, 8)).hexdigest())
-            ts += every_ms
-    return pa.table(
-        {
-            "media_ref": pa.array(refs, pa.string()),
-            "frame_ts": pa.array(tss, pa.int64()),
-            "frame_sha1": pa.array(shas, pa.string()),
+            "frame_ts": pa.array(rows["frame_ts"], pa.int64()),
+            "frame_sha1": pa.array(rows["frame_sha1"], pa.string()),
         }
     )
 
@@ -1426,8 +1411,7 @@ def main():
         "minhash_lsh_pairs": fx_minhash_pairs(docs),
         "dedup_clusters": fx_dedup_clusters(docs),
         "media_features": fx_media_features(docs),
-        "container_metadata": fx_container_metadata(docs),
-        "mp4_frame_sample": fx_mp4_frame_sample(docs),
+        "media_containers": fx_media_containers(docs),
         "checkpoint_lineage": fx_checkpoint_lineage(docs),
         "ann_bucketed_topk": fx_ann_bucketed(embs),
         "embedding_near_dup_lsh": fx_embedding_near_dup_lsh(embs),
