@@ -40,7 +40,6 @@ HEADLINE = [
     "tfidf_top_terms",         # per-doc characteristic terms (tf-idf top-n)
     "bigram_logprob",          # corpus bigram-model perplexity scoring
     "json_extract_cascade",    # F1/F2 LLM-response JSON parsing round-trip
-    "asof_join",               # point-in-time join via union-tag window merge
     "range_join_bands",        # grid-binned interval join
     "sequence_packing",        # token-budget chunk layout (two-phase prefix sum)
     "kmeans_semantic_dedup",   # spherical k-means + SemDeDup pruning
@@ -134,6 +133,41 @@ def _bpe_headliners(spark, sf_dir):
     return {
         "bpe_count_corpus": lambda: d.select(udf(F.col("text")).alias("n")),
         "bpe_count_high_vocab": lambda: hv.select(udf(F.col("text")).alias("n")),
+    }
+
+
+def _asof_headliners(spark, sf_dir):
+    """asof_join keeps its r1-r4 bench name by timing the plain
+    operator only (the gate is now a src-tagged plain+bucketed union —
+    timing it would double the work and break cross-round series);
+    asof_join_bucketed times the hot-key variant separately so the
+    seed-aggregate overhead the bucketing buys is a recorded number."""
+    from insurance_pdf_extractor_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("_bts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    kw = dict(
+        on="user_id", probe_ts="ts", build_ts="_bts",
+        payload_cols=["purchase_id", "purchase_value", "purchase_ts"],
+        tiebreak="purchase_id",
+    )
+    return {
+        "asof_join": lambda: asof_join(probe, build, **kw),
+        "asof_join_bucketed": lambda: asof_join_bucketed(
+            probe, build, bucket_width="13 minutes", **kw
+        ),
     }
 
 
@@ -257,7 +291,7 @@ def main() -> None:
         _run(fn(spark, sf_dir))
         timings[name] = round(_best_of(lambda: fn(spark, sf_dir)), 3)
 
-    for helper in (_dedup_headliners, _ann_headliners, _bpe_headliners):
+    for helper in (_dedup_headliners, _asof_headliners, _ann_headliners, _bpe_headliners):
         for name, mk in helper(spark, sf_dir).items():
             _run(mk())
             timings[name] = round(_best_of(mk), 3)
