@@ -210,3 +210,61 @@ def test_incremental_dedup_plan_shape(spark, registry):
     probe_plan = _plan(spark, keys.withColumn("hit", probe(F.col("k"))))
     assert "ArrowEvalPython" in probe_plan
     assert "BatchEvalPython" not in probe_plan
+
+
+def test_asof_bucketed_plan_shape(spark):
+    """The hot-key as-of variant's scale shape (r5): the running-latest
+    window exchanges on (key, bucket) — NOT key alone, that's the whole
+    defusal — and the cross-bucket seed aggregate combines map-side
+    (partial_max_by before its exchange). The only key-only exchange
+    left is the seed carry window over the per-key bucket LIST, whose
+    row count is #distinct (key, bucket), bounded by time span / width,
+    not by data rows."""
+    import datetime as dt
+
+    from insurance_pdf_extractor_spark.operators.asof import asof_join_bucketed
+
+    probe = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 9, 0, 0))],
+        "probe_id long, k long, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 8, 0, 0), 10, 1.0)],
+        "k long, bts timestamp, pay_id long, pay_val double",
+    )
+    df = asof_join_bucketed(
+        probe, build, on="k", probe_ts="ts", build_ts="bts",
+        payload_cols=["pay_id", "pay_val"], tiebreak="pay_id",
+        bucket_width="1 hour",
+    )
+    plan = _plan(spark, df)
+    lines = plan.splitlines()
+    part_lines = [l for l in lines if "hashpartitioning" in l]
+    # the data-row exchanges carry (key, bucket)
+    assert any("_k" in l and "_bkt" in l for l in part_lines)
+    # map-side combine of the per-bucket latest-build aggregate
+    assert "partial_max_by" in plan
+    # no data-row window partitions on the bare key: every key-only
+    # exchange must feed the bucket-LIST seed window, which sits on the
+    # deduplicated (key, bucket) frame, not on raw rows
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_container_kernels_are_map_only(spark):
+    """Container metadata + MP4 frame sampling must ride the scan: one
+    Arrow MapInPandas stage, ZERO exchanges (r5). A shuffle appearing
+    here would mean the metadata pass — the cheap gate in front of full
+    media decode at 100 TB — started paying network for per-row work."""
+    from insurance_pdf_extractor_spark.operators.containers import (
+        extract_container_metadata,
+        sample_frames_mp4,
+        synth_container_assets,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assets = synth_container_assets(docs, "mp4")
+    for df in (extract_container_metadata(assets), sample_frames_mp4(assets)):
+        plan = _plan(spark, df)
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
