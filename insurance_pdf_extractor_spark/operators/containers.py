@@ -345,6 +345,15 @@ def parse_mp4(payload: bytes) -> dict:
     """
     if len(payload) < 8:
         raise ValueError("not an MP4 payload")
+    try:
+        return _parse_mp4_inner(payload)
+    except struct.error as exc:
+        # short buffers under any unpack_from are corrupt input, not a
+        # programming error — normalize to the poison-row contract
+        raise ValueError(f"truncated MP4 structure: {exc}") from exc
+
+
+def _parse_mp4_inner(payload: bytes) -> dict:
     top = list(_walk_boxes(payload, 0, len(payload)))
     tags = [t for t, _, _ in top]
     if b"moov" not in tags:
@@ -384,19 +393,28 @@ def parse_mp4(payload: bytes) -> dict:
     if len(stsd) >= 4 + 8 + 28:
         width, height = struct.unpack_from(">HH", stsd, 4 + 8 + 24)
 
+    stsz, _ = full_payload(b"stsz")
+    fixed, n_samples = struct.unpack_from(">II", stsz, 0)
+    if n_samples > len(payload):
+        # each sample occupies >=1 byte somewhere in the file; a count
+        # beyond the payload size is a hostile header — reject before
+        # the table expansions below allocate against it
+        raise ValueError("stsz sample count implausible for payload size")
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", stsz, 8))
+
     stts, _ = full_payload(b"stts")
     (n_runs,) = struct.unpack_from(">I", stts, 0)
     deltas: list[int] = []
     for r in range(n_runs):
         cnt, delta = struct.unpack_from(">II", stts, 4 + r * 8)
+        if len(deltas) + cnt > n_samples:
+            # cap the run-length expansion at the stsz count so a
+            # malicious (cnt=2^32) run cannot balloon memory
+            raise ValueError("stts runs exceed stsz sample count")
         deltas.extend([delta] * cnt)
-
-    stsz, _ = full_payload(b"stsz")
-    fixed, n_samples = struct.unpack_from(">II", stsz, 0)
-    if fixed:
-        sizes = [fixed] * n_samples
-    else:
-        sizes = list(struct.unpack_from(f">{n_samples}I", stsz, 8))
 
     if b"stco" in boxes:
         stco, _ = full_payload(b"stco")

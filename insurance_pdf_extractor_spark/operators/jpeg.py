@@ -554,6 +554,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = [0] + list(seg[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(seg[o + 17 : o + 17 + n])
+                if len(bits) != 17 or len(vals) != n:
+                    # DHT declares more codes than the segment holds —
+                    # corrupt table, poison the row
+                    raise ValueError("truncated DHT segment")
                 htables[(tc, th)] = _build_decode(bits, vals)
                 o += 17 + n
         elif marker == 0xDD:  # DRI
@@ -576,8 +580,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if h == 0 or w == 0:
+        raise ValueError("JPEG declares zero dimensions")
     n_mcu_x = (w + mcu_w - 1) // mcu_w
     n_mcu_y = (h + mcu_h - 1) // mcu_h
+    # hostile-input bound: every block costs >=2 bits of entropy data
+    # (one DC + one EOB symbol), so declared dimensions whose block
+    # count exceeds 4x the payload BYTES are a corrupt/malicious header
+    # — reject BEFORE allocating planes or walking 10^8 fake MCUs (a
+    # poison row, not an executor-memory or CPU event)
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    if n_mcu_x * n_mcu_y * blocks_per_mcu > 4 * len(payload):
+        raise ValueError("JPEG dimensions implausible for payload size")
 
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)

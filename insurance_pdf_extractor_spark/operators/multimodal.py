@@ -164,12 +164,23 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
     ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    expected = (stride + 1) * h
+    # hostile-input bounds: reject implausible declared dimensions and
+    # decompression bombs BEFORE inflating — a 100 KB IDAT must never
+    # be allowed to expand into gigabytes on an executor. The inflate
+    # is capped at the exact expected pixel-buffer size; anything the
+    # stream holds beyond it is corrupt by construction.
+    if h == 0 or w == 0 or expected > max(1 << 26, 1024 * len(idat)):
+        raise ValueError("PNG dimensions implausible for payload size")
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.decompress(b"", 1) or not d.eof and d.unconsumed_tail:
+            raise ValueError("PNG pixel data overruns declared dimensions")
     except zlib.error as exc:  # truncated/corrupt stream -> poison row, not a crash
         raise ValueError(f"PNG inflate failed: {exc}") from exc
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -219,12 +230,19 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV to (mono int16 samples, sample_rate). Multi-
     channel input is averaged to mono (integer floor-div, exact)."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        nch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
-        if width != 2:
-            raise NotImplementedError(f"only 16-bit PCM WAV supported (sampwidth={width})")
-        raw = wf.readframes(wf.getnframes())
-    samples = np.frombuffer(raw, dtype="<i2")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+            if width != 2:
+                raise NotImplementedError(f"only 16-bit PCM WAV supported (sampwidth={width})")
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # stdlib wave surfaces corruption as several exception types;
+        # normalize all of them to the poison-row contract
+        raise ValueError(f"corrupt WAV payload: {exc}") from exc
+    if nch < 1:
+        raise ValueError("WAV declares zero channels")
+    samples = np.frombuffer(raw[: len(raw) - len(raw) % (2 * nch)], dtype="<i2")
     if nch > 1:
         samples = (samples.reshape(-1, nch).astype(np.int64).sum(axis=1) // nch).astype(np.int16)
     return samples, rate

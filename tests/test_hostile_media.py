@@ -1,0 +1,185 @@
+"""Hostile-input discipline for the media decoders/parsers — the same
+contract the PDF tokenizer already carries (tests/test_hostile_inputs.py):
+at 10^12 documents, corrupt and adversarial payloads are guaranteed, and
+the failure mode must be a fast ValueError/NotImplementedError (poison
+row), never a hang, an executor-memory event, or a non-Python crash.
+
+Two layers: seeded random corruption sweeps (flips / truncations /
+splices over valid payloads), and targeted malicious headers that
+declare absurd dimensions or table counts a naive decoder would
+allocate against (decompression bombs, 2^32 stts runs, 65k x 65k SOF)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from insurance_pdf_extractor_spark.operators.containers import (
+    parse_mp3,
+    parse_mp4,
+    synth_mp3,
+    synth_mp4,
+)
+from insurance_pdf_extractor_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from insurance_pdf_extractor_spark.operators.multimodal import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    synth_audio,
+    synth_image,
+)
+
+OK = (ValueError, NotImplementedError)
+
+
+def _corruptions(payload: bytes, seed: int, n: int = 40):
+    """Deterministic corruption stream: byte flips, truncations, and
+    random splices — every mutation yielded exactly once per seed."""
+    rs = np.random.RandomState(seed)
+    L = len(payload)
+    for _ in range(n):
+        kind = rs.randint(3)
+        b = bytearray(payload)
+        if kind == 0:  # flip 1-8 bytes
+            for _ in range(rs.randint(1, 9)):
+                b[rs.randint(L)] ^= 1 << rs.randint(8)
+            yield bytes(b)
+        elif kind == 1:  # truncate
+            yield bytes(b[: rs.randint(L)])
+        else:  # splice a random window over a random offset
+            src = rs.randint(L)
+            dst = rs.randint(L)
+            ln = rs.randint(1, min(64, L - max(src, dst)) + 1)
+            b[dst : dst + ln] = payload[src : src + ln]
+            yield bytes(b)
+
+
+@pytest.mark.parametrize(
+    "codec,make",
+    [
+        ("bmp", lambda: encode_bmp(synth_image(7))),
+        ("png", lambda: encode_png(synth_image(7))),
+        ("jpeg", lambda: encode_jpeg(synth_image(7, 24, 24), quality=90,
+                                     subsample=True, restart_interval=2)),
+        ("wav", lambda: encode_wav(synth_audio(7), 8000)),
+        ("mp3", lambda: synth_mp3(7)),
+        ("mp4", lambda: synth_mp4(7)),
+    ],
+)
+def test_corruption_sweep_never_crashes(codec, make):
+    decode = {
+        "bmp": decode_bmp,
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "wav": decode_wav,
+        "mp3": parse_mp3,
+        "mp4": parse_mp4,
+    }[codec]
+    payload = make()
+    survived = failed = 0
+    # stable seed (hash() is per-process randomized; crc32 is not)
+    for mutated in _corruptions(payload, seed=zlib.crc32(codec.encode())):
+        try:
+            decode(mutated)
+            survived += 1  # mutation landed in don't-care bytes — fine
+        except OK:
+            failed += 1
+    assert survived + failed == 40
+
+
+def test_png_decompression_bomb_rejected():
+    """A tiny IDAT claiming huge dimensions must be rejected BEFORE
+    inflating: 8 KB of zlib-compressed zeros would expand to ~3 GB if
+    the declared 32k x 32k header were trusted."""
+    w = h = 32768
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 65536, 9))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < 10_000
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(bomb)
+
+
+def test_png_stream_longer_than_declared_rejected():
+    """An IDAT holding MORE pixel data than the header declares is
+    corrupt — the bounded inflate must flag it, not silently truncate."""
+    img = synth_image(3, 8, 8)
+    good = encode_png(img)
+    # rebuild with one extra scanline's worth of data in the stream
+    raw = bytearray()
+    for y in range(8):
+        raw.append(0)
+        raw.extend(img[y].tobytes())
+    raw.extend(b"\x00" * 25)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    assert (decode_png(good) == img).all()  # the guard spares legit files
+
+
+def test_jpeg_absurd_sof_dimensions_rejected():
+    """Rewrite a valid JPEG's SOF to declare 65500 x 65500: ~2.7e8
+    MCUs against a 1 KB payload. Must reject by arithmetic, not by
+    attempting the decode loop."""
+    b = bytearray(encode_jpeg(synth_image(5)))
+    sof = b.index(b"\xff\xc0")
+    struct.pack_into(">HH", b, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_zero_dimensions_rejected():
+    b = bytearray(encode_jpeg(synth_image(5)))
+    sof = b.index(b"\xff\xc0")
+    struct.pack_into(">HH", b, sof + 5, 0, 0)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+
+def test_mp4_giant_stts_run_rejected():
+    """stts with one (cnt=2^31, delta) run over a 7-sample stsz must be
+    rejected by the cap, not expanded into a 2^31-entry list."""
+    raw = bytearray(synth_mp4(3))
+    i = raw.index(b"stts")
+    # payload layout: ver/flags(4) entry_count(4) then (cnt, delta) runs
+    struct.pack_into(">I", raw, i + 4 + 4 + 4, 1 << 31)
+    with pytest.raises(ValueError, match="stts runs exceed"):
+        parse_mp4(bytes(raw))
+
+
+def test_mp4_giant_stsz_count_rejected():
+    raw = bytearray(synth_mp4(3))
+    i = raw.index(b"stsz")
+    # ver/flags(4) fixed(4) count(4)
+    struct.pack_into(">I", raw, i + 4 + 4 + 4, 1 << 30)
+    with pytest.raises(ValueError, match="implausible|truncated"):
+        parse_mp4(bytes(raw))
+
+
+def test_mp4_struct_errors_normalized():
+    """Any short-buffer unpack inside the box walk must surface as
+    ValueError (the poison-row contract), never a bare struct.error."""
+    raw = synth_mp4(2)
+    for cut in (9, 20, 60, len(raw) // 2, len(raw) - 3):
+        with pytest.raises(OK):
+            parse_mp4(raw[:cut])
