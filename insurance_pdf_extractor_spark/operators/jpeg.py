@@ -533,6 +533,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = seg[o] >> 4, seg[o] & 0xF
                 if pq:
                     raise NotImplementedError("16-bit quantization tables (Pq=1)")
+                if o + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
                 qtables[tq] = _dezigzag_table(list(seg[o + 1 : o + 65]))
                 o += 65
         elif marker == 0xC0:  # SOF0 baseline
@@ -570,8 +572,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("multi-scan JPEG not supported")
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                idx = next(j for j, c in enumerate(comps) if c["id"] == cid)
-                scan_map.append((idx, tt >> 4, tt & 0xF))
+                matches = [j for j, c in enumerate(comps) if c["id"] == cid]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component id {cid}")
+                scan_map.append((matches[0], tt >> 4, tt & 0xF))
             pos += seglen
             break
         # APPn / COM / others: skip
@@ -609,6 +613,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for _ in range(c["h"] * c["v"]):
                 zz = np.zeros(64, dtype=np.int64)
                 t = reader.decode_symbol(dc_t)
+                if t > 11:
+                    # T.81 F.1.2.1.1: baseline DC categories are 0..11;
+                    # a bigger symbol means a corrupt table/stream (and
+                    # unchecked it lets preds grow past int64)
+                    raise ValueError("invalid DC magnitude category")
                 diff = _extend(reader.receive(t), t) if t else 0
                 preds[ci] += diff
                 zz[0] = preds[ci]
@@ -621,6 +630,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             k += 16  # ZRL
                             continue
                         break  # EOB
+                    if t > 10:
+                        # F.1.2.2.1: baseline AC sizes are 1..10
+                        raise ValueError("invalid AC magnitude category")
                     k += r
                     if k > 63:
                         raise ValueError("AC coefficient index out of range")

@@ -39,24 +39,30 @@ OK = (ValueError, NotImplementedError)
 
 
 def _corruptions(payload: bytes, seed: int, n: int = 40):
-    """Deterministic corruption stream: byte flips, truncations, and
-    random splices — every mutation yielded exactly once per seed."""
+    """Deterministic corruption stream: byte flips, truncations, random
+    splices, and garbage injection — every mutation yielded exactly
+    once per seed."""
     rs = np.random.RandomState(seed)
     L = len(payload)
     for _ in range(n):
-        kind = rs.randint(3)
+        kind = rs.randint(4)
         b = bytearray(payload)
-        if kind == 0:  # flip 1-8 bytes
-            for _ in range(rs.randint(1, 9)):
+        if kind == 0:  # flip 1-16 bytes
+            for _ in range(rs.randint(1, 17)):
                 b[rs.randint(L)] ^= 1 << rs.randint(8)
             yield bytes(b)
         elif kind == 1:  # truncate
             yield bytes(b[: rs.randint(L)])
-        else:  # splice a random window over a random offset
+        elif kind == 2:  # splice a random window over a random offset
             src = rs.randint(L)
             dst = rs.randint(L)
             ln = rs.randint(1, min(64, L - max(src, dst)) + 1)
             b[dst : dst + ln] = payload[src : src + ln]
+            yield bytes(b)
+        else:  # inject random garbage bytes
+            off = rs.randint(L)
+            ln = rs.randint(1, 33)
+            b[off : off + ln] = bytes(rs.randint(0, 256, ln, dtype=np.uint8))
             yield bytes(b)
 
 
@@ -152,6 +158,46 @@ def test_jpeg_zero_dimensions_rejected():
     b = bytearray(encode_jpeg(synth_image(5)))
     sof = b.index(b"\xff\xc0")
     struct.pack_into(">HH", b, sof + 5, 0, 0)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_sos_unknown_component_rejected():
+    """A scan header naming a component id absent from SOF must raise
+    ValueError, not leak StopIteration from the lookup."""
+    b = bytearray(encode_jpeg(synth_image(5)))
+    sos = b.index(b"\xff\xda")
+    b[sos + 5] = 0xEE  # first scan component id -> unknown
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_truncated_dqt_rejected():
+    """A DQT segment shorter than its 65-byte table must raise
+    ValueError, not leak IndexError from the dezigzag."""
+    b = bytearray(encode_jpeg(synth_image(5)))
+    dqt = b.index(b"\xff\xdb")
+    # shrink the declared segment length below one full table
+    struct.pack_into(">H", b, dqt + 2, 40)
+    del b[dqt + 2 + 40 : dqt + 2 + 67]
+    with pytest.raises(ValueError, match="DQT|truncated|marker"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_oversize_magnitude_category_rejected():
+    """A DHT whose symbols decode to DC categories >11 (legal only in
+    12-bit modes we don't support) must fail fast: unchecked, garbage
+    entropy data walks receive(255) into multi-kilobit integers and
+    overflows the int64 predictor."""
+    img = synth_image(5)
+    b = bytearray(encode_jpeg(img))
+    dht = b.index(b"\xff\xc4")
+    # DHT layout: marker(2) len(2) tc/th(1) bits[16] vals[n]; remap
+    # EVERY value symbol of the first (DC) table to 0x3F so whichever
+    # code the stream decodes first yields an oversize category
+    n = sum(b[dht + 5 : dht + 5 + 16])
+    for i in range(n):
+        b[dht + 21 + i] = 0x3F
     with pytest.raises(ValueError):
         decode_jpeg(bytes(b))
 
