@@ -153,7 +153,11 @@ def corpus_word_freqs(df, text_col: str = "text") -> dict[tuple[str, ...], int]:
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]', 0)")
+                # (?U) = Java UNICODE_CHARACTER_CLASS so \d/\s match
+                # Unicode digits/whitespace like Python's PRETOKEN_RE
+                # does — without it '١٢٣' tokenizes as three punctuation
+                # chars here but one \d+ token on the driver path
+                F.expr(rf"regexp_extract_all({text_col}, '(?U)[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]', 0)")
             ).alias("word")
         )
         .groupBy("word")

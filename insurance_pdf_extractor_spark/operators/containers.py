@@ -103,7 +103,9 @@ def parse_mp3(payload: bytes) -> dict:
     bitrate_kbps, padding)], "n_frames", "duration_ms",
     "mean_kbps"}``. Skips one leading ID3v2 tag (syncsafe size).
     ``ValueError`` on garbage/truncation; ``NotImplementedError`` on
-    legal non-MPEG1-Layer-III streams.
+    legal non-MPEG1-Layer-III streams. Skips one leading ID3v2 tag
+    (syncsafe size, footer flag honored) and a trailing 128-byte ID3v1
+    tag — both ubiquitous on legal files.
     """
     pos = 0
     if payload[:3] == b"ID3":
@@ -115,12 +117,20 @@ def parse_mp3(payload: bytes) -> dict:
             (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
         )
         pos = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte footer follows the tag and
+            # is NOT counted in the syncsafe size (id3v2.4.0-structure
+            # §3.1) — without this, spec-legal files "lose sync" on the
+            # footer's '3DI' bytes
+            pos += 10
         if pos > len(payload):
             raise ValueError("ID3v2 tag overruns payload")
     frames: list[tuple[int, int, int, int, int]] = []
     sample_rate = None
     idx = 0
     while pos < len(payload):
+        if len(payload) - pos == 128 and payload[pos : pos + 3] == b"TAG":
+            break  # trailing ID3v1 tag — ubiquitous on legal files
         if pos + 4 > len(payload):
             raise ValueError("truncated MP3 frame header")
         b0, b1, b2, _b3 = payload[pos : pos + 4]
@@ -369,6 +379,9 @@ def _parse_mp4_inner(payload: bytes) -> dict:
         _, _, timescale, duration = struct.unpack_from(">QQIQ", payload, mdhd_s + 4)
     else:
         raise NotImplementedError(f"mdhd version {version}")
+    if timescale == 0:
+        # hostile header: duration_ms below divides by it
+        raise ValueError("mdhd timescale is zero")
     minf_s, minf_e = _find(payload, mdia_s, mdia_e, b"minf")
     stbl_s, stbl_e = _find(payload, minf_s, minf_e, b"stbl")
     boxes = {t: (s, e) for t, s, e in _walk_boxes(payload, stbl_s, stbl_e)}
@@ -395,6 +408,10 @@ def _parse_mp4_inner(payload: bytes) -> dict:
 
     stsz, _ = full_payload(b"stsz")
     fixed, n_samples = struct.unpack_from(">II", stsz, 0)
+    if n_samples == 0:
+        # a video track with no samples is degenerate; rejecting here
+        # keeps every downstream consumer's samples[0] access safe
+        raise ValueError("empty stsz sample table")
     if n_samples > len(payload):
         # each sample occupies >=1 byte somewhere in the file; a count
         # beyond the payload size is a hostile header — reject before
@@ -438,6 +455,11 @@ def _parse_mp4_inner(payload: bytes) -> dict:
 
     if len(deltas) != n_samples or sum(per_chunk) != n_samples:
         raise ValueError("sample tables disagree on sample count")
+    if duration > sum(deltas):
+        # mdhd duration is attacker-controlled; beyond the stts total it
+        # would drive unbounded timestamp loops in frame sampling (the
+        # synth encoder writes duration == sum(deltas) exactly)
+        raise ValueError("mdhd duration exceeds stts delta total")
     samples: list[tuple[int, int, int, int]] = []
     ts = 0
     si = 0
@@ -533,7 +555,9 @@ def extract_container_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames_mp4(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames_mp4(
+    assets: DataFrame, every_ms: int = 1000, max_frames: int = 100_000
+) -> DataFrame:
     """REAL frame sampling over MP4 payloads: parse the sample table,
     then for each requested timestamp slice exactly the covering
     sample's bytes (the sample whose decode window contains the
@@ -558,6 +582,20 @@ def sample_frames_mp4(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 tsc = meta["timescale"]
                 samples = meta["samples"]
                 total_ms = meta["duration_ms"]
+                # parse_mp4 guarantees samples is non-empty and duration
+                # <= the stts total, but a legal-looking table can still
+                # declare hours-per-sample deltas; cap emitted rows so a
+                # hostile timeline poisons its row instead of generating
+                # ~total_ms/every_ms rows on the executor
+                if total_ms // every_ms + 1 > max_frames or not samples:
+                    refs.append(ref)
+                    tss.append(-1)
+                    payloads.append(None)
+                    errs.append(
+                        f"ValueError: frame sample count {total_ms // every_ms + 1}"
+                        f" exceeds max_frames={max_frames}"
+                    )
+                    continue
                 t, si = 0, 0
                 while t < total_ms:
                     units = t * tsc // 1000

@@ -502,6 +502,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     replicate the luma plane). Raises ``ValueError`` on corrupt input
     and ``NotImplementedError`` on legal-but-unsupported modes (see
     module docstring)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, struct.error) as exc:
+        # single-index reads / unpack_from over attacker bytes whose
+        # declared segment length is internally consistent but shorter
+        # than the fields read from it — corrupt input, not a
+        # programming error; normalize to the poison-row contract (the
+        # same discipline as containers.parse_mp4)
+        raise ValueError(f"truncated JPEG structure: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}

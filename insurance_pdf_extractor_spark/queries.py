@@ -50,6 +50,10 @@ import os as _os
 
 _FIXTURES_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures")
 
+# per-SparkContext cache of the production-merges BPE UDF (holds its
+# torrent broadcast); keyed by applicationId, cleared on context change
+_BPE_GATE_UDF: dict = {}
+
 
 def _fx(name: str) -> str | None:
     path = _os.path.join(_FIXTURES_DIR, f"fx_{name}.parquet")
@@ -969,6 +973,16 @@ def q_text_quality(spark, sf_dir):
     # through this gate.
     from .operators.bpe import bpe_token_count_udf, production_merges
 
+    # one broadcast per SparkContext, not per gate invocation — repeated
+    # in-process verify sweeps would otherwise pin one 12k-merge
+    # broadcast each (the gate_hist_fp catalog-hygiene class)
+    sc = spark.sparkContext
+    cached = _BPE_GATE_UDF.get(sc.applicationId)
+    if cached is None:
+        cached = bpe_token_count_udf(production_merges(), sc=sc)
+        _BPE_GATE_UDF.clear()
+        _BPE_GATE_UDF[sc.applicationId] = cached
+
     d = _load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -977,7 +991,7 @@ def q_text_quality(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]"), 0)).alias(
             "n_bpe_ish"
         ),
-        bpe_token_count_udf(production_merges(), sc=spark.sparkContext)(F.col("text")).alias("n_bpe"),
+        cached(F.col("text")).alias("n_bpe"),
         tq.quality_score_expr(F.col("text"), F.col("n_chars")).alias("quality"),
         tq.mean_word_len_expr(F.col("text")).alias("mean_word_len"),
     )
@@ -2256,9 +2270,8 @@ def q_media_containers(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     d60 = d.filter(F.col("doc_id") < 60)
-    assets = synth_container_assets(d60, "mp3").unionByName(
-        synth_container_assets(d60, "mp4")
-    )
+    mp4_assets = synth_container_assets(d60, "mp4")
+    assets = synth_container_assets(d60, "mp3").unionByName(mp4_assets)
     nul = lambda t: F.lit(None).cast(t)
     meta = extract_container_metadata(assets).select(
         F.lit("meta").alias("src"),
@@ -2266,7 +2279,7 @@ def q_media_containers(spark, sf_dir):
         "duration_ms", "mean_kbps", "timescale", "codec",
         nul("long").alias("frame_ts"), nul("string").alias("frame_sha1"),
     )
-    frames = sample_frames_mp4(synth_container_assets(d60, "mp4"), every_ms=100).select(
+    frames = sample_frames_mp4(mp4_assets, every_ms=100).select(
         F.lit("frames").alias("src"),
         "media_ref",
         nul("string").alias("container"), nul("long").alias("n_bytes"),

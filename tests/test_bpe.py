@@ -184,7 +184,15 @@ def test_corpus_word_freqs_matches_driver_side(spark):
     equals the pure-Python _word_freqs over the same texts — the seam
     that lets a real corpus train the merges table without its text
     ever reaching the driver."""
-    texts = ["low lower, lowest low!", "newer (newest) new 42", None]
+    # the non-ASCII rows pin the (?U) flag in the Java regex: Arabic-Indic
+    # digits must group as one \d+ token and NBSP must count as \s on
+    # BOTH the Spark (Java regex) and driver (Python re) paths
+    texts = [
+        "low lower, lowest low!",
+        "newer (newest) new 42",
+        "prix ١٢٣ café élan ١٢٣",
+        None,
+    ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = bpe.corpus_word_freqs(df)
     assert got == bpe._word_freqs([t for t in texts if t is not None])

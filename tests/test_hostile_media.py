@@ -229,3 +229,118 @@ def test_mp4_struct_errors_normalized():
     for cut in (9, 20, 60, len(raw) // 2, len(raw) - 3):
         with pytest.raises(OK):
             parse_mp4(raw[:cut])
+
+
+def test_mp4_zero_sample_table_rejected():
+    """A consistent-but-empty sample table (stsz count 0, stts 0 runs,
+    stsc 0 entries, stco 0 chunks) with mdhd duration > 0 must be a
+    ValueError poison row — before the fix it passed every consistency
+    check and crashed sample_frames_mp4 with IndexError on samples[0]."""
+    from insurance_pdf_extractor_spark.operators.containers import _box, _full
+
+    stsd = bytearray(synth_mp4(1))
+    i = stsd.index(b"stsd") - 4
+    stsd_box = bytes(stsd[i : i + struct.unpack_from(">I", stsd, i)[0]])
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd_box + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 5_000, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 13)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    payload = _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+    with pytest.raises(ValueError, match="empty stsz"):
+        parse_mp4(payload)
+
+
+def test_mp4_zero_timescale_rejected():
+    """mdhd timescale=0 must be ValueError, not ZeroDivisionError."""
+    raw = bytearray(synth_mp4(2))
+    i = raw.index(b"mdhd")
+    # box payload: ver/flags(4) ctime(4) mtime(4) timescale(4) ...
+    struct.pack_into(">I", raw, i + 4 + 4 + 4 + 4, 0)
+    with pytest.raises(ValueError, match="timescale"):
+        parse_mp4(bytes(raw))
+
+
+def test_mp4_inflated_mdhd_duration_rejected():
+    """mdhd duration beyond the stts delta total is hostile — it would
+    drive ~duration/every_ms row generation in frame sampling."""
+    raw = bytearray(synth_mp4(2))
+    i = raw.index(b"mdhd")
+    # ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    struct.pack_into(">I", raw, i + 4 + 16, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="duration exceeds"):
+        parse_mp4(bytes(raw))
+
+
+def test_jpeg_short_sof_sos_dri_segments_are_valueerror():
+    """Segments whose declared length is internally consistent but
+    shorter than the fields read from them must poison as ValueError,
+    never leak IndexError/struct.error (the normalization wrapper)."""
+    img = encode_jpeg(synth_image(5, 24, 16))
+
+    def seg_off(marker: int) -> int:
+        pos = 2
+        while True:
+            assert img[pos] == 0xFF
+            m = img[pos + 1]
+            if m == marker:
+                return pos
+            pos += 2 + struct.unpack_from(">H", img, pos + 2)[0]
+
+    # SOF0 declaring nc=3 but truncated component list: rewrite seglen=8
+    sof = seg_off(0xC0)
+    b = bytearray(img)
+    struct.pack_into(">H", b, sof + 2, 8)
+    b[sof + 2 + 2 + 5] = 3  # nc
+    # drop the rest of the original segment so lengths stay consistent
+    orig_len = struct.unpack_from(">H", img, sof + 2)[0]
+    hostile = bytes(b[: sof + 2 + 8]) + img[sof + 2 + orig_len :]
+    with pytest.raises(OK):
+        decode_jpeg(hostile)
+
+    # DRI with an empty body (seglen=2)
+    hostile = img[:2] + b"\xff\xdd\x00\x02" + img[2:]
+    with pytest.raises(OK):
+        decode_jpeg(hostile)
+
+    # SOS whose body is shorter than 1 + 2*ns
+    sos = seg_off(0xDA)
+    orig_len = struct.unpack_from(">H", img, sos + 2)[0]
+    b = bytearray(img[: sos + 2 + 3])  # keep only seglen + ns byte
+    struct.pack_into(">H", b, sos + 2, 3)
+    hostile = bytes(b) + img[sos + 2 + orig_len :]
+    with pytest.raises(OK):
+        decode_jpeg(hostile)
+
+
+def test_mp3_id3v2_footer_flag_parses():
+    """The ID3v2.4 footer flag adds 10 bytes NOT counted in the syncsafe
+    size; a spec-legal file with it must parse, not 'lose sync'."""
+    base = synth_mp3(1)  # doc_id=1 -> no ID3 tag prepended
+    assert base[:3] != b"ID3"
+    body = bytes(range(20))
+    n = len(body)
+    syncsafe = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    tag = b"ID3\x04\x00\x10" + syncsafe + body + b"3DI\x04\x00\x10" + syncsafe
+    meta = parse_mp3(tag + base)
+    assert meta["n_frames"] == parse_mp3(base)["n_frames"]
+
+
+def test_mp3_trailing_id3v1_tag_parses():
+    """A trailing 128-byte ID3v1 'TAG' block is ubiquitous on legal
+    files and must terminate the frame walk, not raise lost-sync."""
+    base = synth_mp3(1)
+    id3v1 = b"TAG" + bytes(125)
+    meta = parse_mp3(base + id3v1)
+    assert meta["n_frames"] == parse_mp3(base)["n_frames"]
+    # but a TAG block of the wrong size is still lost sync
+    with pytest.raises(ValueError, match="lost MP3 sync"):
+        parse_mp3(base + b"TAG" + bytes(40))
