@@ -24,6 +24,9 @@ Reference lifecycle being re-expressed: POST /api/v1/extract
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +188,39 @@ def _extract_spans_sized(
     return small_docs.unionByName(big_docs)
 
 
+@contextmanager
+def materialized_source(raw: DataFrame, storage_level: StorageLevel | None = None):
+    """Persist a COMPUTED source once so the extraction plan's three
+    branch subtrees (small-doc / oversized / reject — see
+    :func:`extract_results`) read one materialization instead of each
+    re-executing the source.
+
+    Catalyst pushes every branch filter below the salt exchange, which
+    is the right plan over a pruned columnar scan but triples the
+    source evaluation when the source is a UDF/join subtree (measured:
+    the corpus-render stage ran 3x per action, ~35% of executor time;
+    BENCH.md). ``MEMORY_AND_DISK`` keeps the materialized bytes
+    spill-able — at cluster scale the per-executor cache is bounded by
+    the executor's storage fraction, and a source too large to cache
+    should be written to parquet and re-read instead (the
+    extract_from_storage path), which also restores per-branch scan
+    pruning.
+
+    Usage::
+
+        with materialized_source(render_documents_raw(reps)) as raw:
+            extract_results(raw).write...
+
+    The cache is dropped (non-blocking) on exit so repeated timed runs
+    re-execute the source honestly."""
+    level = storage_level if storage_level is not None else StorageLevel.MEMORY_AND_DISK
+    persisted = raw.persist(level)
+    try:
+        yield persisted
+    finally:
+        persisted.unpersist(blocking=False)
+
+
 def extract_results(
     raw: DataFrame,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
@@ -226,7 +262,18 @@ def extract_results(
     network cost) buys nothing. Use salted mode when the layout is
     unknown or adversarial (few huge files, doc order correlated with
     size); measured on a balanced layout, presalted is strictly faster
-    (BENCH.md)."""
+    (BENCH.md).
+
+    COMPUTED (non-scan) sources: the per-branch pushdown above is only
+    free when the source is a columnar scan (pruned columns / skipped
+    row groups make the extra branch scans ~costless). When ``raw`` is
+    itself a computed subtree — a decode/render UDF stage, a join, a
+    prior pipeline's output that was never persisted — each branch
+    RE-EXECUTES that subtree: stage-level measurement showed the
+    corpus-render UDF running 3x inside one action (~40 of 114 core-s
+    wasted; BENCH.md "computed-source triple evaluation"). Wrap such a
+    source in :func:`materialized_source` so all branches read one
+    materialization."""
     spark = raw.sparkSession
 
     if presalted:

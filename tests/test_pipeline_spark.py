@@ -124,3 +124,32 @@ def test_extract_results_parallelism_invariant(spark, corpus_docs):
         return sorted((r["doc_id"], r["status"], r["extracted_data"], tuple(r["warnings"] or []), r["file_size"]) for r in rows)
 
     assert snapshot(2) == snapshot(16)
+
+
+def test_materialized_source_value_identical(spark, corpus_docs):
+    """materialized_source changes only WHERE the branches read from
+    (one cached materialization vs per-branch re-execution of a
+    computed source) — never the rows. Compare full results frames."""
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_results, materialized_source
+    from insurance_pdf_extractor_spark import corpus as C
+
+    raw = C.to_raw_df(spark, corpus_docs[:40])
+
+    def snapshot(df):
+        rows = df.select(
+            "doc_id", "status", "extracted_data", "warnings", "file_size"
+        ).collect()
+        return sorted(
+            (r["doc_id"], r["status"], r["extracted_data"], tuple(r["warnings"] or []), r["file_size"])
+            for r in rows
+        )
+
+    base = snapshot(extract_results(raw, partitions=4))
+    with materialized_source(raw) as shared_raw:
+        shared = snapshot(extract_results(shared_raw, partitions=4))
+        # the branches must actually read the cache, not re-plan around it
+        plan = extract_results(shared_raw, partitions=4)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert base == shared
