@@ -449,7 +449,14 @@ def _parse_mp4_inner(payload: bytes) -> dict:
     per_chunk: list[int] = []
     for r, (first, spc, _desc) in enumerate(sc):
         last = sc[r + 1][0] - 1 if r + 1 < n_sc else n_chunks
-        per_chunk.extend([spc] * (last - first + 1))
+        run = last - first + 1
+        if run < 0 or len(per_chunk) + run > n_chunks:
+            # cap the run-length expansion at the stco chunk count
+            # BEFORE allocating — a malicious first_chunk (e.g. 2^32-1)
+            # would otherwise balloon this list to ~34 GB (same
+            # discipline as the stts cap above)
+            raise ValueError("stsc runs inconsistent with chunk count")
+        per_chunk.extend([spc] * run)
     if len(per_chunk) != n_chunks:
         raise ValueError("stsc runs inconsistent with chunk count")
 
@@ -595,6 +602,17 @@ def sample_frames_mp4(
                         f"ValueError: frame sample count {total_ms // every_ms + 1}"
                         f" exceeds max_frames={max_frames}"
                     )
+                    continue
+                if total_ms <= 0:
+                    # duration 0 with a non-empty sample table: the
+                    # timestamp loop below would emit NOTHING, silently
+                    # dropping the asset from the output — poison the
+                    # row instead (the contract every other failure
+                    # path here follows)
+                    refs.append(ref)
+                    tss.append(-1)
+                    payloads.append(None)
+                    errs.append("ValueError: non-positive mdhd duration")
                     continue
                 t, si = 0, 0
                 while t < total_ms:

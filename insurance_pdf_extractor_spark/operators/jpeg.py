@@ -169,11 +169,13 @@ def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
 
 def fdct_quant(samples: np.ndarray, qtable: list[int]) -> np.ndarray:
     """(n, 8, 8) uint8 samples -> (n, 64) int32 quantized coefficients
-    in zigzag order (round-half-away-from-zero quantization)."""
+    in zigzag order (round-half-away-from-zero quantization).
+    ``qtable`` is in NATURAL (row-major) order — quality_tables()
+    output; DQT storage order is the encoder's concern."""
     d = samples.astype(np.int64) - 128
     g = np.einsum("nyx,vuyx->nvu", d, _BASIS)
     g = (g + _HALF) >> SCALE_BITS
-    q = np.asarray(qtable, dtype=np.int64)[np.argsort(ZIGZAG)].reshape(8, 8)
+    q = np.asarray(qtable, dtype=np.int64).reshape(8, 8)
     # sign * ((2|G| + Q) // 2Q), elementwise
     quant = np.sign(g) * ((2 * np.abs(g) + q) // (2 * q))
     zz = quant.reshape(-1, 64)[:, ZIGZAG]
@@ -417,7 +419,6 @@ def encode_jpeg(
     mcu_h, mcu_w = 8 * s, 8 * s
     # per-component zigzag coefficient arrays, in MCU scan order
     comp_zz: list[np.ndarray] = []
-    comp_bpm: list[tuple[int, int]] = []  # (v, h) blocks per MCU
     n_mcu_y = (h + mcu_h - 1) // mcu_h
     n_mcu_x = (w + mcu_w - 1) // mcu_w
     for ci, plane in enumerate(planes):
@@ -431,13 +432,14 @@ def encode_jpeg(
         )
         zz = fdct_quant(_block_split(padded), lq if ci == 0 else cq)
         comp_zz.append(zz)
-        comp_bpm.append((hv, hv))
 
     # header
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, table in ((0, lq), (1, cq)) if not gray else ((0, lq),):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table)
+        # T.81 B.2.4.1: DQT stores the 64 elements in ZIGZAG order
+        # (element i = natural position ZIGZAG[i])
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table[p] for p in ZIGZAG)
     nc = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
@@ -487,6 +489,10 @@ def encode_jpeg(
 
 
 # --- decoder ----------------------------------------------------------
+
+# absolute decode-size cap: 64 MiB of int64 DCT coefficients (the PNG
+# decoder's pixel-buffer cap, applied to this codec's dominant buffer)
+MAX_DECODE_BLOCKS = (64 * 1024 * 1024) // (64 * 8)
 
 _UNSUPPORTED_SOF = {
     0xC1: "extended sequential (SOF1)", 0xC2: "progressive (SOF2)",
@@ -608,6 +614,16 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
     if n_mcu_x * n_mcu_y * blocks_per_mcu > 4 * len(payload):
         raise ValueError("JPEG dimensions implausible for payload size")
+    # ...but the per-byte bound alone still admits ~4 blocks/byte: a
+    # 10 MB LEGAL stream of all-EOB blocks (~6 bits each) could declare
+    # ~40M blocks = tens of GB of coefficient buffers plus a ~10^7-step
+    # Python entropy loop. Absolute cap on the coefficient buffer, the
+    # same 64 MiB discipline as the PNG pixel-buffer bomb cap: blocks x
+    # 64 int64 coefficients <= 64 MiB (131,072 blocks ~ a 2896x2896
+    # grayscale or 4096x2304 4:2:0 image — far beyond any document
+    # asset this engine decodes; bigger dimensions poison the row).
+    if n_mcu_x * n_mcu_y * blocks_per_mcu > MAX_DECODE_BLOCKS:
+        raise ValueError("JPEG dimensions implausible: coefficient buffer over cap")
 
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)

@@ -250,3 +250,24 @@ def test_sample_frames_mp4_kernel(spark):
             img = decode_bmp(bytes(r["frame_payload"]))
             assert (img == synth_image(d + k, 8, 8)).all()
         assert all(r["err"] is None for r in rows)
+
+
+def test_sample_frames_mp4_zero_duration_poison_row(spark):
+    """mdhd duration=0 with a non-empty sample table passes parse_mp4
+    (duration <= stts total holds trivially), but the timestamp loop
+    would emit zero rows — the asset must surface as a poison row, not
+    vanish from the output."""
+    import struct as _s
+
+    from insurance_pdf_extractor_spark.operators.containers import sample_frames_mp4
+
+    raw = bytearray(synth_mp4(5))
+    i = raw.index(b"mdhd")
+    _s.pack_into(">I", raw, i + 4 + 16, 0)  # duration = 0
+    assets = spark.createDataFrame(
+        [("zero-dur", bytes(raw))], "media_ref string, payload binary"
+    )
+    rows = sample_frames_mp4(assets, every_ms=100).collect()
+    assert len(rows) == 1
+    assert rows[0]["frame_ts"] == -1 and rows[0]["frame_payload"] is None
+    assert "non-positive mdhd duration" in rows[0]["err"]

@@ -344,3 +344,40 @@ def test_mp3_trailing_id3v1_tag_parses():
     # but a TAG block of the wrong size is still lost sync
     with pytest.raises(ValueError, match="lost MP3 sync"):
         parse_mp3(base + b"TAG" + bytes(40))
+
+
+def test_mp4_hostile_stsc_first_chunk_rejected_before_allocation():
+    """An stsc entry whose first_chunk is absurd (e.g. ~2^32) must be a
+    fast ValueError — before the fix, `per_chunk.extend([spc] * run)`
+    allocated the full run (~34 GB at 2^32) and the inconsistency check
+    only fired afterwards."""
+    import time
+
+    raw = bytearray(synth_mp4(7))
+    i = raw.index(b"stsc")
+    # box payload: ver/flags(4) entry_count(4) entries(12 each)
+    (n_sc,) = struct.unpack_from(">I", raw, i + 8)
+    assert n_sc >= 1
+    for hostile_first in (100_000_000, 0xFFFFFFFE):
+        bad = bytearray(raw)
+        struct.pack_into(">I", bad, i + 12, hostile_first)
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match="stsc runs inconsistent"):
+            parse_mp4(bytes(bad))
+        assert time.perf_counter() - t0 < 0.5  # rejected, not allocated
+
+
+def test_jpeg_coefficient_buffer_cap():
+    """The per-byte plausibility bound admits ~4 blocks per payload
+    byte, so a large legal-length payload could still declare millions
+    of blocks (GBs of int64 coefficient buffers + a multi-minute Python
+    entropy loop). The absolute MAX_DECODE_BLOCKS cap must fire first."""
+    from insurance_pdf_extractor_spark.operators.jpeg import MAX_DECODE_BLOCKS
+
+    hdr = bytearray(encode_jpeg(synth_image(1, 16, 16)[..., 0]))  # grayscale
+    sof = hdr.index(b"\xff\xc0")
+    struct.pack_into(">HH", hdr, sof + 5, 8000, 8000)  # 1e6 blocks
+    assert 8000 // 8 * (8000 // 8) > MAX_DECODE_BLOCKS
+    big = bytes(hdr) + b"\x00" * (1024 * 1024)  # per-byte bound allows 4e6
+    with pytest.raises(ValueError, match="coefficient buffer over cap"):
+        decode_jpeg(big)

@@ -578,7 +578,7 @@ def _fx_jpeg_encode(img, quality=90, restart_interval=2):
                     for x in range(8):
                         acc += (block[y][x] - 128) * basis[v][u][y][x]
                 g = (acc + half) >> J.SCALE_BITS
-                q = qt[J.ZIGZAG.index(v * 8 + u)]
+                q = qt[v * 8 + u]  # qt is in natural (row-major) order
                 sign = 1 if g > 0 else (-1 if g < 0 else 0)
                 zz_pos = J.ZIGZAG.index(v * 8 + u)
                 zz[zz_pos] = sign * ((2 * abs(g) + q) // (2 * q))
@@ -600,7 +600,8 @@ def _fx_jpeg_encode(img, quality=90, restart_interval=2):
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, table in ((0, lq), (1, cq)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table)
+        # T.81 B.2.4.1: DQT elements are stored in zigzag order
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table[p] for p in J.ZIGZAG)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     for tc_th, (bits, vals) in ((0x00, J.DC_LUMA), (0x10, J.AC_LUMA), (0x01, J.DC_CHROMA), (0x11, J.AC_CHROMA)):
