@@ -2258,10 +2258,23 @@ def q_media_containers(spark, sf_dir):
     coverage, and the byte slicing end-to-end.
 
     src='stub' — the explode-by-duration sampling plumbing
-    (multimodal.sample_frames) over synthetic durations from n_chars;
-    entropy/transform decode of framed CONTENT stays the explicit
-    codec seam."""
+    (multimodal.sample_frames) over synthetic durations from n_chars.
+
+    src='vdecode' (r5) — REAL MP4 video CONTENT decode: MJPEG assets
+    ('jpeg' fourcc, each sample a complete baseline JPEG) sampled
+    every 200 ms, the covering sample's bytes decoded through the real
+    JPEG kernel and reduced to the pixel feature spec. The fixture
+    decodes INDEPENDENTLY (scalar bit-reader + fixed-point IDCT), so
+    value equality pins stsc/stco slicing and entropy decode together.
+
+    src='adecode' (r5) — REAL MP4 audio CONTENT decode: PCM 'twos'
+    tracks reassembled from the sample table to the waveform feature
+    spec; timescale column = AudioSampleEntry samplerate. The
+    remaining codec seam is exactly the entropy/inter-frame formats
+    (avc1, mp4a AAC, MP3 main data)."""
     from .operators.containers import (
+        decode_mp4_audio,
+        decode_mp4_frames,
         extract_container_metadata,
         sample_frames_mp4,
         synth_container_assets,
@@ -2271,13 +2284,24 @@ def q_media_containers(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     d60 = d.filter(F.col("doc_id") < 60)
     mp4_assets = synth_container_assets(d60, "mp4")
-    assets = synth_container_assets(d60, "mp3").unionByName(mp4_assets)
+    mjpeg_assets = synth_container_assets(d60, "mjpeg")
+    pcm_assets = synth_container_assets(d60, "pcm_mp4")
+    assets = (
+        synth_container_assets(d60, "mp3")
+        .unionByName(mp4_assets)
+        .unionByName(mjpeg_assets)
+        .unionByName(pcm_assets)
+    )
     nul = lambda t: F.lit(None).cast(t)
+    fmt_feats = lambda c: F.concat_ws(
+        ",", F.transform(c, lambda v: F.format_string("%.6f", v.cast("double")))
+    )
     meta = extract_container_metadata(assets).select(
         F.lit("meta").alias("src"),
         "media_ref", "container", "n_bytes", "sha1", "n_frames",
         "duration_ms", "mean_kbps", "timescale", "codec",
         nul("long").alias("frame_ts"), nul("string").alias("frame_sha1"),
+        nul("string").alias("features"),
     )
     frames = sample_frames_mp4(mp4_assets, every_ms=100).select(
         F.lit("frames").alias("src"),
@@ -2288,6 +2312,29 @@ def q_media_containers(spark, sf_dir):
         nul("int").alias("timescale"), nul("string").alias("codec"),
         F.col("frame_ts").cast("long").alias("frame_ts"),
         F.sha1(F.col("frame_payload")).alias("frame_sha1"),
+        nul("string").alias("features"),
+    )
+    vdecode = decode_mp4_frames(mjpeg_assets, every_ms=200).select(
+        F.lit("vdecode").alias("src"),
+        "media_ref",
+        nul("string").alias("container"), nul("long").alias("n_bytes"),
+        nul("string").alias("sha1"), nul("int").alias("n_frames"),
+        nul("long").alias("duration_ms"), nul("double").alias("mean_kbps"),
+        nul("int").alias("timescale"), nul("string").alias("codec"),
+        F.col("frame_ts").cast("long").alias("frame_ts"),
+        nul("string").alias("frame_sha1"),
+        fmt_feats(F.col("features")).alias("features"),
+    )
+    adecode = decode_mp4_audio(pcm_assets).select(
+        F.lit("adecode").alias("src"),
+        "media_ref",
+        nul("string").alias("container"), nul("long").alias("n_bytes"),
+        nul("string").alias("sha1"), nul("int").alias("n_frames"),
+        nul("long").alias("duration_ms"), nul("double").alias("mean_kbps"),
+        F.col("sample_rate").cast("int").alias("timescale"),
+        nul("string").alias("codec"),
+        nul("long").alias("frame_ts"), nul("string").alias("frame_sha1"),
+        fmt_feats(F.col("features")).alias("features"),
     )
     stub_assets = d.filter(F.col("doc_id") % 3 == 0).select(
         F.concat(F.lit("v-"), F.col("doc_id").cast("string")).alias("media_ref"),
@@ -2303,8 +2350,14 @@ def q_media_containers(spark, sf_dir):
         nul("int").alias("timescale"), nul("string").alias("codec"),
         F.col("frame_ts").cast("long").alias("frame_ts"),
         nul("string").alias("frame_sha1"),
+        nul("string").alias("features"),
     )
-    return meta.unionByName(frames).unionByName(stub)
+    return (
+        meta.unionByName(frames)
+        .unionByName(vdecode)
+        .unionByName(adecode)
+        .unionByName(stub)
+    )
 
 
 # ---------------------------------------------------------------------------

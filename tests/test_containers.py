@@ -271,3 +271,164 @@ def test_sample_frames_mp4_zero_duration_poison_row(spark):
     assert len(rows) == 1
     assert rows[0]["frame_ts"] == -1 and rows[0]["frame_payload"] is None
     assert "non-positive mdhd duration" in rows[0]["err"]
+
+
+# --- r5 second half: MP4 CONTENT decode (MJPEG frames, PCM audio) ---------
+
+def test_mp4_pcm_roundtrip():
+    """encode_mp4_pcm → parse_mp4: audio handler/codec/entry fields,
+    short last sample, and exact PCM reassembly from the sample table."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import encode_mp4_pcm
+
+    x = np.arange(-500, 500, dtype=np.int16)  # 1000 frames
+    b = encode_mp4_pcm(x, 8000, frames_per_sample=300)
+    m = parse_mp4(b)
+    assert m["handler"] == "soun" and m["codec"] == "twos"
+    assert (m["channels"], m["sample_bits"], m["sample_rate_hz"]) == (1, 16, 8000)
+    # 1000 frames at 300/sample → 3 full + 1 short sample of 100
+    sizes = [s for _, _, s, _ in m["samples"]]
+    assert sizes == [600, 600, 600, 200]
+    assert m["duration_ms"] == 1000 * 1000 // 8000
+    pcm = b"".join(b[off : off + size] for _, off, size, _ in m["samples"])
+    assert np.array_equal(np.frombuffer(pcm, dtype=">i2").astype(np.int16), x)
+
+
+def test_synth_mp4_pcm_matches_wav_waveform():
+    """The PCM MP4 branch carries the SAME waveform as the WAV branch
+    (multimodal.synth_audio), so decoded features must be equal."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import synth_mp4_pcm
+    from insurance_pdf_extractor_spark.operators.multimodal import synth_audio
+
+    for d in (0, 1, 2):
+        b = synth_mp4_pcm(d)
+        m = parse_mp4(b)
+        pcm = b"".join(b[off : off + size] for _, off, size, _ in m["samples"])
+        got = np.frombuffer(pcm, dtype=">i2").astype(np.int16)
+        assert np.array_equal(got, synth_audio(d))
+
+
+def test_decode_mp4_frames_mjpeg_kernel(spark):
+    """Every 200 ms tick decodes the covering MJPEG sample through the
+    real JPEG kernel; features equal a direct slice+decode, and ticks
+    covered by one sample share one decode (identical feature lists)."""
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_frames,
+        synth_container_assets,
+        synth_mp4_mjpeg,
+    )
+    from insurance_pdf_extractor_spark.operators.jpeg import decode_jpeg
+    from insurance_pdf_extractor_spark.operators.multimodal import bmp_features
+
+    import numpy as np
+
+    docs = spark.createDataFrame([(1,), (5,)], "doc_id long")
+    rows = decode_mp4_frames(
+        synth_container_assets(docs, "mjpeg"), every_ms=200
+    ).collect()
+    assert rows and all(r["err"] is None for r in rows)
+    by_ref: dict[str, list] = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for d in (1, 5):
+        b = synth_mp4_mjpeg(d)
+        m = parse_mp4(b)
+        got = sorted(by_ref[f"mjpeg-{d}"], key=lambda r: r["frame_ts"])
+        assert [r["frame_ts"] for r in got] == list(range(0, m["duration_ms"], 200))
+        for r in got:
+            k = max(i for i, (_, _, _, ts) in enumerate(m["samples"]) if ts <= r["frame_ts"])
+            _, off, size, _ = m["samples"][k]
+            want = np.asarray(bmp_features(decode_jpeg(b[off : off + size])), dtype=np.float32)
+            assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want)
+
+
+def test_decode_mp4_frames_rawb_and_unsupported(spark):
+    """rawb samples decode through the BMP path; an avc1 fourcc hits
+    the explicit codec seam and poisons the FRAME rows, keeping the
+    asset visible."""
+    import struct as _s
+
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_frames,
+        synth_mp4,
+    )
+    from insurance_pdf_extractor_spark.operators.multimodal import bmp_features, synth_image
+
+    raw = synth_mp4(3)
+    avc = bytearray(raw)
+    i = avc.index(b"rawb")
+    avc[i : i + 4] = b"avc1"
+    assets = spark.createDataFrame(
+        [("ok", raw), ("h264", bytes(avc))], "media_ref string, payload binary"
+    )
+    rows = decode_mp4_frames(assets, every_ms=300).collect()
+    ok = sorted((r for r in rows if r["media_ref"] == "ok"), key=lambda r: r["frame_ts"])
+    m = parse_mp4(raw)
+    assert [r["frame_ts"] for r in ok] == list(range(0, m["duration_ms"], 300))
+    for r in ok:
+        k = max(i for i, (_, _, _, ts) in enumerate(m["samples"]) if ts <= r["frame_ts"])
+        want = np.asarray(bmp_features(synth_image(3 + k, 8, 8)), dtype=np.float32)
+        assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want)
+    h264 = [r for r in rows if r["media_ref"] == "h264"]
+    assert h264 and all(
+        r["features"] is None and "NotImplementedError" in r["err"] for r in h264
+    )
+
+
+def test_decode_mp4_audio_kernel(spark):
+    """PCM assets decode to the WAV feature spec; video containers and
+    compressed-audio fourccs poison their rows, never the batch."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_audio,
+        synth_container_assets,
+    )
+    from insurance_pdf_extractor_spark.operators.multimodal import synth_audio, wav_features
+
+    docs = spark.createDataFrame([(0,), (4,)], "doc_id long")
+    rows = {r["media_ref"]: r for r in decode_mp4_audio(
+        synth_container_assets(docs, "pcm_mp4")
+    ).collect()}
+    for d in (0, 4):
+        r = rows[f"pcm_mp4-{d}"]
+        assert r["err"] is None and r["sample_rate"] == 8000
+        want = np.asarray(wav_features(synth_audio(d), 8000), dtype=np.float32)
+        assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want)
+    # cross-kind: a video track is a loud poison row, not a crash
+    vid = synth_container_assets(docs, "mjpeg")
+    bad = decode_mp4_audio(vid).collect()
+    assert all("not an audio track" in r["err"] for r in bad)
+
+
+def test_decode_kernels_poison_corrupt_payloads(spark):
+    """A corrupt container poisons its row in BOTH content-decode
+    kernels while valid rows in the same batch still decode."""
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_audio,
+        decode_mp4_frames,
+        synth_mp4_mjpeg,
+        synth_mp4_pcm,
+    )
+
+    good_v, good_a = synth_mp4_mjpeg(2), synth_mp4_pcm(2)
+    assets_v = spark.createDataFrame(
+        [("good", good_v), ("trunc", good_v[:40]), ("none", b"")],
+        "media_ref string, payload binary",
+    )
+    rows = decode_mp4_frames(assets_v, every_ms=200).collect()
+    assert any(r["media_ref"] == "good" and r["err"] is None for r in rows)
+    for ref in ("trunc", "none"):
+        bad = [r for r in rows if r["media_ref"] == ref]
+        assert len(bad) == 1 and bad[0]["err"] is not None and bad[0]["frame_ts"] == -1
+    assets_a = spark.createDataFrame(
+        [("good", good_a), ("trunc", good_a[:40])], "media_ref string, payload binary"
+    )
+    arows = {r["media_ref"]: r for r in decode_mp4_audio(assets_a).collect()}
+    assert arows["good"]["err"] is None
+    assert arows["trunc"]["err"] is not None and arows["trunc"]["features"] is None

@@ -66,6 +66,46 @@ def _corruptions(payload: bytes, seed: int, n: int = 40):
             yield bytes(b)
 
 
+def _synth_mjpeg7():
+    from insurance_pdf_extractor_spark.operators.containers import synth_mp4_mjpeg
+
+    return synth_mp4_mjpeg(7)
+
+
+def _synth_pcm7():
+    from insurance_pdf_extractor_spark.operators.containers import synth_mp4_pcm
+
+    return synth_mp4_pcm(7)
+
+
+def _full_decode_mp4(b: bytes):
+    """Scalar mirror of the r5 CONTENT-decode kernels: parse the sample
+    table, then decode every sample's bytes (video → per-fourcc image
+    decode; 'twos' audio → PCM reassembly + waveform features). The
+    corruption sweep must land in ValueError/NotImplementedError/
+    struct.error — never a crash, hang, or unbounded allocation."""
+    from insurance_pdf_extractor_spark.operators.containers import _decode_mp4_frame
+    from insurance_pdf_extractor_spark.operators.multimodal import wav_features
+
+    m = parse_mp4(b)
+    if m["handler"] == "soun":
+        if m["codec"] != "twos":
+            raise NotImplementedError(m["codec"])
+        if m["channels"] != 1 or m["sample_bits"] != 16:
+            raise NotImplementedError("non mono-16 PCM")
+        pcm = b"".join(b[off : off + size] for _, off, size, _ in m["samples"])
+        if len(pcm) % 2:
+            raise ValueError("odd PCM byte count")
+        x = np.frombuffer(pcm, dtype=">i2").astype(np.int16)
+        if x.size == 0:
+            raise ValueError("empty PCM stream")
+        return wav_features(x, m["sample_rate_hz"] or 1)
+    return [
+        _decode_mp4_frame(m["codec"], b[off : off + size])
+        for _, off, size, _ in m["samples"]
+    ]
+
+
 @pytest.mark.parametrize(
     "codec,make",
     [
@@ -76,6 +116,8 @@ def _corruptions(payload: bytes, seed: int, n: int = 40):
         ("wav", lambda: encode_wav(synth_audio(7), 8000)),
         ("mp3", lambda: synth_mp3(7)),
         ("mp4", lambda: synth_mp4(7)),
+        ("mjpeg_mp4", _synth_mjpeg7),
+        ("pcm_mp4", _synth_pcm7),
     ],
 )
 def test_corruption_sweep_never_crashes(codec, make):
@@ -86,6 +128,8 @@ def test_corruption_sweep_never_crashes(codec, make):
         "wav": decode_wav,
         "mp3": parse_mp3,
         "mp4": parse_mp4,
+        "mjpeg_mp4": _full_decode_mp4,
+        "pcm_mp4": _full_decode_mp4,
     }[codec]
     payload = make()
     survived = failed = 0

@@ -1223,7 +1223,10 @@ def _fx_mp4_bytes(doc_id: int) -> bytes:
     absolute stco): scalar struct packing, its own box framing."""
     frames = [_fx_bmp_bytes(doc_id + k, 8, 8) for k in range(len(_fx_mp4_deltas(doc_id)))]
     deltas = _fx_mp4_deltas(doc_id)
-    timescale, w, h = 1000, 8, 8
+    return _fx_mp4_video(frames, deltas, 1000, 8, 8, b"rawb")
+
+
+def _fx_mp4_video(frames, deltas, timescale, w, h, codec) -> bytes:
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + tag + payload
@@ -1264,7 +1267,7 @@ def _fx_mp4_bytes(doc_id: int) -> bytes:
         + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
         + struct.pack(">Hh", 24, -1)
     )
-    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"rawb", vse))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(codec, vse))
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     duration = sum(deltas)
     vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
@@ -1288,6 +1291,126 @@ def _fx_mp4_bytes(doc_id: int) -> bytes:
     return ftyp + box(b"mdat", mdat_payload) + box(b"moov", mvhd + trak)
 
 
+def _fx_mjpeg_deltas(doc_id: int) -> list[int]:
+    n = 3 + doc_id % 3
+    return [100 + (doc_id * 11 + k * 13) % 150 for k in range(n)]
+
+
+def _fx_mjpeg_frame(doc_id: int, k: int) -> bytes:
+    """One MJPEG sample per the spec: the independent scalar JPEG
+    encoder over the arithmetic 16x16 image seeded doc_id*5+k*11+3."""
+    seed = doc_id * 5 + k * 11 + 3
+    px = lambda y, x, c: (seed * 31 + y * 7 + x * 13 + c * 59) % 256
+    img = [[(px(y, x, 0), px(y, x, 1), px(y, x, 2)) for x in range(16)] for y in range(16)]
+    return _fx_jpeg_encode(img, quality=90, restart_interval=2)
+
+
+def _fx_mp4_mjpeg_bytes(doc_id: int) -> bytes:
+    """Independent MJPEG MP4 from the synth_mp4_mjpeg spec: each
+    sample a complete baseline JPEG, stsd fourcc 'jpeg', 16x16."""
+    deltas = _fx_mjpeg_deltas(doc_id)
+    frames = [_fx_mjpeg_frame(doc_id, k) for k in range(len(deltas))]
+    return _fx_mp4_video(frames, deltas, 1000, 16, 16, b"jpeg")
+
+
+def _fx_mjpeg_frame_features(doc_id: int, k: int) -> list[float]:
+    """Decoded-pixel features of MJPEG sample k: JPEG is lossy, so the
+    spec runs on the independently DECODED image (integer-exact per
+    the fixed-point DCT contract) — the _fx_jpeg_features discipline."""
+    img = _fx_jpeg_decode(_fx_mjpeg_frame(doc_id, k))
+    h = w = 16
+    out = []
+    for c in range(3):
+        s = sum(img[y][x][c] for y in range(h) for x in range(w))
+        out.append((s / float(h * w)) / 255.0)
+    bh, bw = h // 4, w // 4
+    for by in range(4):
+        for bx in range(4):
+            s = sum(
+                img[y][x][c]
+                for y in range(by * bh, (by + 1) * bh)
+                for x in range(bx * bw, (bx + 1) * bw)
+                for c in range(3)
+            )
+            out.append(((s / float(bh * bw)) / 3.0) / 255.0)
+    return out
+
+
+def _fx_mp4_pcm_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
+    """Independent PCM ('twos') MP4 from the synth_mp4_pcm spec: the
+    WAV-branch waveform packed 200+(doc_id%3)*100 frames per sample,
+    big-endian 16-bit, AudioSampleEntry + smhd audio track. Scalar
+    struct packing, its own box framing — no shared code with
+    operators/containers.py."""
+    samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    pcm = struct.pack(f">{n}h", *samples)
+    fps = 200 + (doc_id % 3) * 100
+    step = fps * 2
+    blobs = [pcm[i : i + step] for i in range(0, len(pcm), step)]
+    deltas = [len(b) // 2 for b in blobs]
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    chunks = []
+    i = 0
+    while i < len(blobs):
+        take = 2 if not chunks else 3
+        chunks.append(blobs[i : i + take])
+        i += take
+    mdat_payload = b"".join(b"".join(c) for c in chunks)
+    offs, pos = [], len(ftyp) + 8
+    for c in chunks:
+        offs.append(pos)
+        pos += sum(len(fb) for fb in c)
+    runs = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = full(b"stts", 0, 0, struct.pack(">I", len(runs)) + b"".join(struct.pack(">II", c, d) for c, d in runs))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, len(blobs)) + b"".join(struct.pack(">I", len(fb)) for fb in blobs))
+    sc_entries = []
+    for ci, c in enumerate(chunks, start=1):
+        if not sc_entries or sc_entries[-1][1] != len(c):
+            sc_entries.append((ci, len(c), 1))
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", len(sc_entries)) + b"".join(struct.pack(">III", *e) for e in sc_entries))
+    stco = full(b"stco", 0, 0, struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs))
+    ase = (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+        + struct.pack(">HH", 1, 16) + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", rate << 16)
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"twos", ase))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    duration = sum(deltas)
+    smhd = full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
+    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")))
+    minf = box(b"minf", smhd + dinf + stbl)
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, duration, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"soun") + b"\x00" * 13)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0x0100, 0, 0) + matrix + struct.pack(">II", 0, 0),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, rate, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    return ftyp + box(b"mdat", mdat_payload) + box(b"moov", mvhd + trak)
+
+
 def fx_media_containers(docs) -> pa.Table:
     """ONE union-tagged expected table for the container gate.
     src='meta': mp3 + mp4 metadata for docs 0-59 — n_bytes/sha1 pin the
@@ -1298,15 +1421,31 @@ def fx_media_containers(docs) -> pa.Table:
     spec's cumulative deltas, frame_sha1 over the independently built
     BMP bytes. src='stub': explode-by-duration sampling timestamps from
     n_chars (doc_id%3==0), the SQL branch the old media_frame_sample
-    gate carried."""
+    gate carried.
+
+    r5 content-decode branches: src='vdecode' is the every-200ms MJPEG
+    frame DECODE: the covering sample's complete JPEG through the
+    independent scalar decoder, feature spec over the decoded pixels
+    (the engine slices via stsc/stco and decodes via operators.jpeg,
+    so value equality pins the byte slicing AND the entropy decode
+    end-to-end). src='adecode' is the PCM ('twos') MP4 audio decode:
+    the reassembled big-endian stream's waveform features (the WAV
+    spec); the timescale column carries the AudioSampleEntry
+    samplerate. Their meta rows (codec jpeg/twos, timescale 1000/8000,
+    sha1 pinning the encoders byte-for-byte) ride src='meta'."""
     cols = ("src", "media_ref", "container", "n_bytes", "sha1", "n_frames",
             "duration_ms", "mean_kbps", "timescale", "codec", "frame_ts",
-            "frame_sha1")
+            "frame_sha1", "features")
     rows = {k: [] for k in cols}
 
     def emit(**kw):
         for k in cols:
             rows[k].append(kw.get(k))
+
+    def fmt(vec):
+        # mirror the gate's array<float> passage: float64 -> float32 ->
+        # double -> JVM %.6f (the fx_media_features discipline)
+        return ",".join(javafmt6(float(np.float32(v))) for v in vec)
 
     for doc_id, text in docs:
         if doc_id < 60:
@@ -1331,6 +1470,36 @@ def fx_media_containers(docs) -> pa.Table:
                 emit(src="frames", media_ref=f"mp4-{doc_id}", frame_ts=ts,
                      frame_sha1=hashlib.sha1(_fx_bmp_bytes(doc_id + k, 8, 8)).hexdigest())
                 ts += 100
+            # --- r5: MJPEG video — meta + decoded-frame features ---
+            mj = _fx_mp4_mjpeg_bytes(doc_id)
+            mdeltas = _fx_mjpeg_deltas(doc_id)
+            emit(src="meta", media_ref=f"mjpeg-{doc_id}", container="mp4",
+                 n_bytes=len(mj), sha1=hashlib.sha1(mj).hexdigest(),
+                 n_frames=len(mdeltas), duration_ms=sum(mdeltas),
+                 timescale=1000, codec="jpeg")
+            cum, t = [], 0
+            for d in mdeltas:
+                cum.append(t)
+                t += d
+            feat_cache = {}
+            ts = 0
+            while ts < t:
+                k = max(i for i, c in enumerate(cum) if c <= ts)
+                if k not in feat_cache:
+                    feat_cache[k] = fmt(_fx_mjpeg_frame_features(doc_id, k))
+                emit(src="vdecode", media_ref=f"mjpeg-{doc_id}", frame_ts=ts,
+                     features=feat_cache[k])
+                ts += 200
+            # --- r5: PCM MP4 audio — meta + decoded waveform features ---
+            pb = _fx_mp4_pcm_bytes(doc_id)
+            fps = 200 + (doc_id % 3) * 100
+            n_samp = (1600 + fps - 1) // fps
+            emit(src="meta", media_ref=f"pcm_mp4-{doc_id}", container="mp4",
+                 n_bytes=len(pb), sha1=hashlib.sha1(pb).hexdigest(),
+                 n_frames=n_samp, duration_ms=1600 * 1000 // 8000,
+                 timescale=8000, codec="twos")
+            emit(src="adecode", media_ref=f"pcm_mp4-{doc_id}",
+                 timescale=8000, features=fmt(_fx_wav_features(doc_id)))
         if doc_id % 3 == 0:
             # multimodal.sample_frames: sequence(0, max(dur//1000 - 1, 0))
             n_ticks = max(len(text) // 1000 - 1, 0) + 1
@@ -1350,6 +1519,7 @@ def fx_media_containers(docs) -> pa.Table:
             "codec": pa.array(rows["codec"], pa.string()),
             "frame_ts": pa.array(rows["frame_ts"], pa.int64()),
             "frame_sha1": pa.array(rows["frame_sha1"], pa.string()),
+            "features": pa.array(rows["features"], pa.string()),
         }
     )
 
