@@ -316,25 +316,32 @@ def encode_mp4_pcm(
     frames_per_sample: int = 256,
     first_chunk_samples: int = 2,
     chunk_samples: int = 3,
+    codec: bytes = b"twos",
 ) -> bytes:
-    """Encode mono 16-bit PCM as a one-AUDIO-track MP4: the sample
-    entry is ``twos`` (big-endian signed 16-bit PCM per QTFF/14496-12
-    §12.2.3), so the CONTENT is decodable from the container alone —
-    no entropy codec. Each MP4 sample holds ``frames_per_sample`` PCM
-    frames (the last may be short), timescale = the PCM rate so stts
-    deltas are frame counts. Chunking mirrors :func:`encode_mp4`
-    (first chunk 2 samples, then 3) so stsc/stco expansion is
-    exercised. Byte-deterministic: the fixture oracle rebuilds files
-    independently and sha1 pins both writers."""
+    """Encode 16-bit PCM as a one-AUDIO-track MP4: the sample entry is
+    ``twos`` (big-endian signed 16-bit PCM per QTFF/14496-12 §12.2.3)
+    or ``sowt`` (its little-endian twin), so the CONTENT is decodable
+    from the container alone — no entropy codec. ``samples`` is (n,)
+    mono or (n, ch) channel-interleaved int16. Each MP4 sample holds
+    ``frames_per_sample`` PCM frames (the last may be short),
+    timescale = the PCM rate so stts deltas are frame counts. Chunking
+    mirrors :func:`encode_mp4` (first chunk 2 samples, then 3) so
+    stsc/stco expansion is exercised. Byte-deterministic: the fixture
+    oracle rebuilds files independently and sha1 pins both writers."""
     import numpy as np
 
+    if codec not in (b"twos", b"sowt"):
+        raise ValueError(f"PCM sample-entry fourcc must be twos/sowt, got {codec!r}")
     x = np.asarray(samples, dtype=np.int16)
-    if x.ndim != 1 or x.size == 0:
-        raise ValueError("mono non-empty int16 sample array required")
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[0] == 0 or not (1 <= x.shape[1] < 1 << 16):
+        raise ValueError("non-empty (n,) or (n, channels) int16 array required")
+    ch = x.shape[1]
     if not (0 < sample_rate < 1 << 16):
         raise ValueError("sample_rate must fit the 16.16 samplerate field")
-    pcm = x.astype(">i2").tobytes()
-    bps = 2  # bytes per PCM frame (mono 16-bit)
+    pcm = x.astype(">i2" if codec == b"twos" else "<i2").tobytes()
+    bps = 2 * ch  # bytes per PCM frame (16-bit x channels, interleaved)
     step = frames_per_sample * bps
     blobs = [pcm[i : i + step] for i in range(0, len(pcm), step)]
     deltas = [len(b) // bps for b in blobs]
@@ -382,17 +389,17 @@ def encode_mp4_pcm(
         struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
     )
     # AudioSampleEntry (14496-12 §12.2.3): 6 reserved + data_ref_index,
-    # 8 reserved, channelcount=1, samplesize=16, pre_defined, reserved,
+    # 8 reserved, channelcount, samplesize=16, pre_defined, reserved,
     # samplerate as 16.16 fixed
     ase = (
         b"\x00" * 6
         + struct.pack(">H", 1)
         + b"\x00" * 8
-        + struct.pack(">HH", 1, 16)
+        + struct.pack(">HH", ch, 16)
         + struct.pack(">HH", 0, 0)
         + struct.pack(">I", sample_rate << 16)
     )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"twos", ase))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, ase))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     duration = sum(deltas)
     smhd = _full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
@@ -774,7 +781,7 @@ def sample_frames_mp4(
 # --- MP4 CONTENT decode (round 5, second half) ---------------------------
 # When the track's sample entry is a codec this container ships — MJPEG
 # ('jpeg': each sample is a complete baseline JPEG, operators/jpeg.py),
-# 'png '/'rawb' still-image samples, or 'twos' big-endian PCM audio —
+# 'png '/'rawb' still-image samples, or 'twos'/'sowt' PCM audio —
 # content decode is real, composed from the sample-table walker plus
 # the existing image/audio decoders. The remaining seam is exactly the
 # codecs whose bitstreams need inter-frame / entropy machinery not in
@@ -816,7 +823,7 @@ def _decode_mp4_frame(codec: str, frame: bytes) -> list[float]:
         return bmp_features(decode_jpeg(frame))
     raise NotImplementedError(
         f"stsd fourcc {codec!r} needs an inter-frame/entropy codec not in "
-        "this container; decodable: rawb, png , jpeg (MJPEG), twos (PCM)"
+        "this container; decodable: rawb, png , jpeg (MJPEG), twos/sowt (PCM)"
     )
 
 
@@ -894,11 +901,13 @@ def decode_mp4_frames(
 
 
 def decode_mp4_audio(assets: DataFrame) -> DataFrame:
-    """REAL MP4 audio CONTENT decode for PCM ('twos') tracks: gather
-    the sample extents, reassemble the big-endian 16-bit stream, and
-    run the same waveform feature spec as the WAV decoder. Compressed
-    audio fourccs (mp4a AAC, .mp3) poison their row via the
-    NotImplementedError seam."""
+    """REAL MP4 audio CONTENT decode for PCM tracks — 'twos'
+    (big-endian) and 'sowt' (little-endian), any channel count: gather
+    the sample extents, reassemble the interleaved 16-bit stream,
+    downmix multi-channel to mono with the WAV decoder's exact rule
+    (int64 sum floor-div channels), and run the same waveform feature
+    spec. Compressed audio fourccs (mp4a AAC, .mp3) poison their row
+    via the NotImplementedError seam."""
     import numpy as np
 
     from .multimodal import wav_features
@@ -914,25 +923,31 @@ def decode_mp4_audio(assets: DataFrame) -> DataFrame:
                     meta = parse_mp4(b)
                     if meta["handler"] != "soun":
                         raise ValueError(f"not an audio track (handler {meta['handler']!r})")
-                    if meta["codec"] != "twos":
+                    if meta["codec"] not in ("twos", "sowt"):
                         raise NotImplementedError(
                             f"stsd fourcc {meta['codec']!r} needs an entropy codec; "
-                            "decodable audio: twos (big-endian PCM)"
+                            "decodable audio: twos/sowt (16-bit PCM)"
                         )
-                    if meta["channels"] != 1 or meta["sample_bits"] != 16:
+                    nch = meta["channels"] or 0
+                    if nch < 1 or meta["sample_bits"] != 16:
                         raise NotImplementedError(
-                            f"only mono 16-bit PCM supported "
-                            f"(channels={meta['channels']}, bits={meta['sample_bits']})"
+                            f"only 16-bit PCM supported "
+                            f"(channels={nch}, bits={meta['sample_bits']})"
                         )
                     rate = meta["sample_rate_hz"]
                     if not rate:
                         raise ValueError("AudioSampleEntry samplerate is zero")
                     pcm = b"".join(b[off : off + size] for _, off, size, _ in meta["samples"])
-                    if len(pcm) % 2:
-                        raise ValueError("odd PCM byte count for 16-bit samples")
-                    x = np.frombuffer(pcm, dtype=">i2").astype(np.int16)
+                    if len(pcm) % (2 * nch):
+                        raise ValueError("PCM byte count not a whole number of frames")
+                    dt = ">i2" if meta["codec"] == "twos" else "<i2"
+                    x = np.frombuffer(pcm, dtype=dt).astype(np.int16)
                     if x.size == 0:
                         raise ValueError("empty PCM stream")
+                    if nch > 1:  # decode_wav's exact downmix rule
+                        x = (
+                            x.reshape(-1, nch).astype(np.int64).sum(axis=1) // nch
+                        ).astype(np.int16)
                     vec = wav_features(x, rate)
                 except Exception as exc:  # poison row, keep the batch
                     err = f"{type(exc).__name__}: {exc}"
@@ -1019,11 +1034,27 @@ def synth_mp4_pcm(doc_id: int) -> bytes:
     )
 
 
+def synth_mp4_pcm_sowt(doc_id: int) -> bytes:
+    """Stereo little-endian PCM ('sowt') MP4: left channel is the
+    synth_audio(doc_id) waveform, right is synth_audio(doc_id + 7),
+    interleaved at 11025 Hz, 220 + (doc_id%3)*110 frames per MP4
+    sample — exercises the multi-channel downmix and byte-order half
+    of the PCM decode path."""
+    import numpy as np
+
+    from .multimodal import synth_audio
+
+    x = np.stack([synth_audio(doc_id), synth_audio(doc_id + 7)], axis=1)
+    return encode_mp4_pcm(
+        x, 11025, frames_per_sample=220 + (doc_id % 3) * 110, codec=b"sowt"
+    )
+
+
 def synth_container_assets(docs: DataFrame, kind: str) -> DataFrame:
     """documents(doc_id) → (media_ref, kind, payload, mime) with valid
     MP3 frame streams / MP4 containers synthesized per row inside an
     Arrow batch kernel."""
-    if kind not in ("mp3", "mp4", "mjpeg", "pcm_mp4"):
+    if kind not in ("mp3", "mp4", "mjpeg", "pcm_mp4", "pcm_sowt"):
         raise ValueError(f"unknown synthetic container kind {kind!r}")
     out_schema = T.StructType(
         [
@@ -1045,6 +1076,9 @@ def synth_container_assets(docs: DataFrame, kind: str) -> DataFrame:
                 mime, kname = "video/mp4", "video"
             elif kind == "pcm_mp4":
                 payloads = [synth_mp4_pcm(int(d)) for d in ids]
+                mime, kname = "audio/mp4", "audio"
+            elif kind == "pcm_sowt":
+                payloads = [synth_mp4_pcm_sowt(int(d)) for d in ids]
                 mime, kname = "audio/mp4", "audio"
             else:
                 payloads = [synth_mp4(int(d)) for d in ids]

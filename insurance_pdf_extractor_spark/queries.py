@@ -2267,11 +2267,12 @@ def q_media_containers(spark, sf_dir):
     decodes INDEPENDENTLY (scalar bit-reader + fixed-point IDCT), so
     value equality pins stsc/stco slicing and entropy decode together.
 
-    src='adecode' (r5) — REAL MP4 audio CONTENT decode: PCM 'twos'
-    tracks reassembled from the sample table to the waveform feature
-    spec; timescale column = AudioSampleEntry samplerate. The
-    remaining codec seam is exactly the entropy/inter-frame formats
-    (avc1, mp4a AAC, MP3 main data)."""
+    src='adecode' (r5) — REAL MP4 audio CONTENT decode: PCM tracks —
+    big-endian mono 'twos' AND stereo little-endian 'sowt' (downmixed
+    with the WAV decoder's exact int-floor rule) — reassembled from
+    the sample table to the waveform feature spec; timescale column =
+    AudioSampleEntry samplerate. The remaining codec seam is exactly
+    the entropy/inter-frame formats (avc1, mp4a AAC, MP3 main data)."""
     from .operators.containers import (
         decode_mp4_audio,
         decode_mp4_frames,
@@ -2285,7 +2286,9 @@ def q_media_containers(spark, sf_dir):
     d60 = d.filter(F.col("doc_id") < 60)
     mp4_assets = synth_container_assets(d60, "mp4")
     mjpeg_assets = synth_container_assets(d60, "mjpeg")
-    pcm_assets = synth_container_assets(d60, "pcm_mp4")
+    pcm_assets = synth_container_assets(d60, "pcm_mp4").unionByName(
+        synth_container_assets(d60, "pcm_sowt")
+    )
     assets = (
         synth_container_assets(d60, "mp3")
         .unionByName(mp4_assets)

@@ -311,6 +311,86 @@ def test_synth_mp4_pcm_matches_wav_waveform():
         assert np.array_equal(got, synth_audio(d))
 
 
+def test_mp4_pcm_sowt_stereo_roundtrip():
+    """Stereo little-endian PCM ('sowt'): parse reads channelcount 2
+    and the sowt fourcc; the reassembled stream is the interleaved LE
+    input; stts deltas count FRAMES (interleaved pairs), not values."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import encode_mp4_pcm
+
+    x = np.stack(
+        [np.arange(-450, 450, dtype=np.int16), np.arange(450, -450, -1, dtype=np.int16)],
+        axis=1,
+    )  # 900 frames x 2 channels
+    b = encode_mp4_pcm(x, 11025, frames_per_sample=400, codec=b"sowt")
+    m = parse_mp4(b)
+    assert m["handler"] == "soun" and m["codec"] == "sowt"
+    assert (m["channels"], m["sample_bits"], m["sample_rate_hz"]) == (2, 16, 11025)
+    # 900 frames at 400/sample, 4 bytes/frame → 1600/1600/400 byte samples
+    assert [s for _, _, s, _ in m["samples"]] == [1600, 1600, 400]
+    assert m["duration_ms"] == 900 * 1000 // 11025
+    pcm = b"".join(b[off : off + size] for _, off, size, _ in m["samples"])
+    assert np.array_equal(
+        np.frombuffer(pcm, dtype="<i2").astype(np.int16).reshape(-1, 2), x
+    )
+
+
+def test_encode_mp4_pcm_validation():
+    import numpy as np
+    import pytest
+
+    from insurance_pdf_extractor_spark.operators.containers import encode_mp4_pcm
+
+    x = np.zeros(100, dtype=np.int16)
+    with pytest.raises(ValueError, match="twos/sowt"):
+        encode_mp4_pcm(x, 8000, codec=b"mp4a")
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_mp4_pcm(np.zeros((0, 2), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="16.16"):
+        encode_mp4_pcm(x, 1 << 16)
+
+
+def test_decode_mp4_audio_sowt_and_multichannel_downmix(spark):
+    """sowt stereo assets decode to the WAV feature spec over the
+    downmixed waveform ((L+R) floor-div 2 — decode_wav's exact rule),
+    and a 3-channel track downmixes with the same int64-sum//nch."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_audio,
+        encode_mp4_pcm,
+        synth_container_assets,
+    )
+    from insurance_pdf_extractor_spark.operators.multimodal import synth_audio, wav_features
+
+    docs = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    rows = {r["media_ref"]: r for r in decode_mp4_audio(
+        synth_container_assets(docs, "pcm_sowt")
+    ).collect()}
+    for d in (0, 5):
+        r = rows[f"pcm_sowt-{d}"]
+        assert r["err"] is None and r["sample_rate"] == 11025
+        mono = (
+            np.stack([synth_audio(d), synth_audio(d + 7)], axis=1)
+            .astype(np.int64).sum(axis=1) // 2
+        ).astype(np.int16)
+        want = np.asarray(wav_features(mono, 11025), dtype=np.float32)
+        assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want)
+
+    rs = np.random.RandomState(3)
+    x3 = rs.randint(-32768, 32768, size=(777, 3)).astype(np.int16)
+    tri = spark.createDataFrame(
+        [("tri", encode_mp4_pcm(x3, 22050, codec=b"twos"))],
+        "media_ref string, payload binary",
+    )
+    r = decode_mp4_audio(tri).collect()[0]
+    assert r["err"] is None and r["sample_rate"] == 22050
+    mono3 = (x3.astype(np.int64).sum(axis=1) // 3).astype(np.int16)
+    want3 = np.asarray(wav_features(mono3, 22050), dtype=np.float32)
+    assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want3)
+
+
 def test_decode_mp4_frames_mjpeg_kernel(spark):
     """Every 200 ms tick decodes the covering MJPEG sample through the
     real JPEG kernel; features equal a direct slice+decode, and ticks

@@ -78,6 +78,12 @@ def _synth_pcm7():
     return synth_mp4_pcm(7)
 
 
+def _synth_sowt7():
+    from insurance_pdf_extractor_spark.operators.containers import synth_mp4_pcm_sowt
+
+    return synth_mp4_pcm_sowt(7)
+
+
 def _full_decode_mp4(b: bytes):
     """Scalar mirror of the r5 CONTENT-decode kernels: parse the sample
     table, then decode every sample's bytes (video → per-fourcc image
@@ -89,16 +95,19 @@ def _full_decode_mp4(b: bytes):
 
     m = parse_mp4(b)
     if m["handler"] == "soun":
-        if m["codec"] != "twos":
+        if m["codec"] not in ("twos", "sowt"):
             raise NotImplementedError(m["codec"])
-        if m["channels"] != 1 or m["sample_bits"] != 16:
-            raise NotImplementedError("non mono-16 PCM")
+        nch = m["channels"] or 0
+        if nch < 1 or m["sample_bits"] != 16:
+            raise NotImplementedError("non 16-bit PCM")
         pcm = b"".join(b[off : off + size] for _, off, size, _ in m["samples"])
-        if len(pcm) % 2:
-            raise ValueError("odd PCM byte count")
-        x = np.frombuffer(pcm, dtype=">i2").astype(np.int16)
+        if len(pcm) % (2 * nch):
+            raise ValueError("partial PCM frame")
+        x = np.frombuffer(pcm, dtype=">i2" if m["codec"] == "twos" else "<i2").astype(np.int16)
         if x.size == 0:
             raise ValueError("empty PCM stream")
+        if nch > 1:
+            x = (x.reshape(-1, nch).astype(np.int64).sum(axis=1) // nch).astype(np.int16)
         return wav_features(x, m["sample_rate_hz"] or 1)
     return [
         _decode_mp4_frame(m["codec"], b[off : off + size])
@@ -118,6 +127,7 @@ def _full_decode_mp4(b: bytes):
         ("mp4", lambda: synth_mp4(7)),
         ("mjpeg_mp4", _synth_mjpeg7),
         ("pcm_mp4", _synth_pcm7),
+        ("sowt_mp4", _synth_sowt7),
     ],
 )
 def test_corruption_sweep_never_crashes(codec, make):
@@ -130,6 +140,7 @@ def test_corruption_sweep_never_crashes(codec, make):
         "mp4": parse_mp4,
         "mjpeg_mp4": _full_decode_mp4,
         "pcm_mp4": _full_decode_mp4,
+        "sowt_mp4": _full_decode_mp4,
     }[codec]
     payload = make()
     survived = failed = 0

@@ -477,6 +477,19 @@ def _fx_wav_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
 
 def _fx_wav_features(doc_id: int, n: int = 1600, rate: int = 8000) -> list[float]:
     samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    return _fx_wave_vec(samples, rate)
+
+
+def _fx_sowt_features(doc_id: int, n: int = 1600, rate: int = 11025) -> list[float]:
+    """Waveform features of the sowt stereo asset after the decoder's
+    exact downmix rule: (L + R) floor-div 2 per frame."""
+    wave = lambda d: [(d * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    L, R = wave(doc_id), wave(doc_id + 7)
+    return _fx_wave_vec([(a + b) // 2 for a, b in zip(L, R)], rate)
+
+
+def _fx_wave_vec(samples: list[int], rate: int) -> list[float]:
+    n = len(samples)
     rms = math.sqrt(sum(s * s for s in samples) / n) / 32768.0
     zc = sum((samples[i] >= 0) != (samples[i + 1] >= 0) for i in range(n - 1))
     zcr = zc / (n - 1)
@@ -1344,10 +1357,25 @@ def _fx_mp4_pcm_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
     operators/containers.py."""
     samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
     pcm = struct.pack(f">{n}h", *samples)
-    fps = 200 + (doc_id % 3) * 100
-    step = fps * 2
+    return _fx_mp4_pcm_container(pcm, 200 + (doc_id % 3) * 100, rate, 1, b"twos")
+
+
+def _fx_mp4_pcm_sowt_bytes(doc_id: int, n: int = 1600, rate: int = 11025) -> bytes:
+    """Independent stereo 'sowt' MP4 from the synth_mp4_pcm_sowt spec:
+    L = the doc_id waveform, R = the doc_id+7 waveform, interleaved
+    little-endian, 220+(doc_id%3)*110 frames per sample."""
+    wave = lambda d: [(d * 40503 + i * 2654435761) % 65536 - 32768 for i in range(n)]
+    L, R = wave(doc_id), wave(doc_id + 7)
+    inter = [v for pair in zip(L, R) for v in pair]
+    pcm = struct.pack(f"<{2 * n}h", *inter)
+    return _fx_mp4_pcm_container(pcm, 220 + (doc_id % 3) * 110, rate, 2, b"sowt")
+
+
+def _fx_mp4_pcm_container(pcm: bytes, fps: int, rate: int, ch: int, fourcc: bytes) -> bytes:
+    bps = 2 * ch
+    step = fps * bps
     blobs = [pcm[i : i + step] for i in range(0, len(pcm), step)]
-    deltas = [len(b) // 2 for b in blobs]
+    deltas = [len(b) // bps for b in blobs]
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + tag + payload
@@ -1384,10 +1412,10 @@ def _fx_mp4_pcm_bytes(doc_id: int, n: int = 1600, rate: int = 8000) -> bytes:
     stco = full(b"stco", 0, 0, struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs))
     ase = (
         b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
-        + struct.pack(">HH", 1, 16) + struct.pack(">HH", 0, 0)
+        + struct.pack(">HH", ch, 16) + struct.pack(">HH", 0, 0)
         + struct.pack(">I", rate << 16)
     )
-    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"twos", ase))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(fourcc, ase))
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     duration = sum(deltas)
     smhd = full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
@@ -1428,11 +1456,13 @@ def fx_media_containers(docs) -> pa.Table:
     independent scalar decoder, feature spec over the decoded pixels
     (the engine slices via stsc/stco and decodes via operators.jpeg,
     so value equality pins the byte slicing AND the entropy decode
-    end-to-end). src='adecode' is the PCM ('twos') MP4 audio decode:
-    the reassembled big-endian stream's waveform features (the WAV
-    spec); the timescale column carries the AudioSampleEntry
-    samplerate. Their meta rows (codec jpeg/twos, timescale 1000/8000,
-    sha1 pinning the encoders byte-for-byte) ride src='meta'."""
+    end-to-end). src='adecode' is the PCM MP4 audio decode — mono
+    big-endian 'twos' AND stereo little-endian 'sowt' (whose expected
+    features run the decoder's exact downmix rule, (L+R) floor-div 2):
+    the reassembled stream's waveform features (the WAV spec); the
+    timescale column carries the AudioSampleEntry samplerate. Their
+    meta rows (codec jpeg/twos/sowt, timescale 1000/8000/11025, sha1
+    pinning the encoders byte-for-byte) ride src='meta'."""
     cols = ("src", "media_ref", "container", "n_bytes", "sha1", "n_frames",
             "duration_ms", "mean_kbps", "timescale", "codec", "frame_ts",
             "frame_sha1", "features")
@@ -1500,6 +1530,16 @@ def fx_media_containers(docs) -> pa.Table:
                  timescale=8000, codec="twos")
             emit(src="adecode", media_ref=f"pcm_mp4-{doc_id}",
                  timescale=8000, features=fmt(_fx_wav_features(doc_id)))
+            # --- r5: stereo little-endian PCM ('sowt') — meta + downmixed features ---
+            sb = _fx_mp4_pcm_sowt_bytes(doc_id)
+            sfps = 220 + (doc_id % 3) * 110
+            emit(src="meta", media_ref=f"pcm_sowt-{doc_id}", container="mp4",
+                 n_bytes=len(sb), sha1=hashlib.sha1(sb).hexdigest(),
+                 n_frames=(1600 + sfps - 1) // sfps,
+                 duration_ms=1600 * 1000 // 11025,
+                 timescale=11025, codec="sowt")
+            emit(src="adecode", media_ref=f"pcm_sowt-{doc_id}",
+                 timescale=11025, features=fmt(_fx_sowt_features(doc_id)))
         if doc_id % 3 == 0:
             # multimodal.sample_frames: sequence(0, max(dur//1000 - 1, 0))
             n_ticks = max(len(text) // 1000 - 1, 0) + 1
