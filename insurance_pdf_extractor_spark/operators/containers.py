@@ -190,6 +190,131 @@ def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
 _MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 
+def _chunk_blobs(blobs: list[bytes], first_chunk: int, per_chunk: int) -> list[list[bytes]]:
+    chunks: list[list[bytes]] = []
+    i = 0
+    while i < len(blobs):
+        take = first_chunk if not chunks else per_chunk
+        chunks.append(blobs[i : i + take])
+        i += take
+    return chunks
+
+
+def _stbl(blobs: list[bytes], deltas: list[int], chunks: list[list[bytes]],
+          offs: list[int], stsd_entry: bytes) -> bytes:
+    """Sample-table box from the chunk layout: stts RLE of ``deltas``,
+    per-sample stsz, stsc runs from ACTUAL per-chunk counts (the last
+    chunk may be short — 14496-12 has no partial-chunk rule), absolute
+    stco offsets, and the given sample-entry box inside stsd."""
+    runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(blobs))
+        + b"".join(struct.pack(">I", len(fb)) for fb in blobs),
+    )
+    stsc_entries: list[tuple[int, int, int]] = []
+    for ci, c in enumerate(chunks, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != len(c):
+            stsc_entries.append((ci, len(c), 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _vse(width: int, height: int) -> bytes:
+    """Minimal VisualSampleEntry body (14496-12 8.5.2): 6 reserved +
+    data_ref idx, 16 predefined/reserved, width/height, resolutions,
+    frame count, compressorname(32), depth, predefined."""
+    return (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+
+
+def _ase(channels: int, sample_rate: int) -> bytes:
+    """AudioSampleEntry body (14496-12 §12.2.3): 6 reserved +
+    data_ref_index, 8 reserved, channelcount, samplesize=16,
+    pre_defined, reserved, samplerate as 16.16 fixed."""
+    return (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HH", channels, 16)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", sample_rate << 16)
+    )
+
+
+def _trak(stbl: bytes, timescale: int, duration: int, handler: bytes,
+          track_id: int = 1, width: int = 0, height: int = 0) -> bytes:
+    """One trak box around a built sample table: media header (vmhd for
+    video, smhd + volume for audio), dinf/dref, mdhd/hdlr/tkhd."""
+    if handler == b"vide":
+        mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        volume = 0
+    elif handler == b"soun":
+        mhd = _full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
+        volume = 0x0100
+    else:
+        raise ValueError(f"unsupported handler {handler!r}")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", mhd + dinf + stbl)
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, handler) + b"\x00" * 13)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, track_id, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, volume, 0, 0)
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return _box(b"trak", tkhd + mdia)
+
+
+def _mvhd(timescale: int, duration: int, next_track_id: int = 2) -> bytes:
+    return _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", next_track_id),
+    )
+
+
 def encode_mp4(
     frames: list[bytes],
     deltas: list[int],
@@ -214,99 +339,16 @@ def encode_mp4(
     if len(frames) != len(deltas):
         raise ValueError("one delta per frame required")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
-    # chunk layout
-    chunks: list[list[bytes]] = []
-    i = 0
-    while i < len(frames):
-        take = first_chunk_samples if not chunks else chunk_samples
-        chunks.append(frames[i : i + take])
-        i += take
+    chunks = _chunk_blobs(frames, first_chunk_samples, chunk_samples)
     mdat_payload = b"".join(b"".join(c) for c in chunks)
-    mdat_off = len(ftyp) + 8  # file offset of mdat payload start
-    offs, pos = [], mdat_off
+    offs, pos = [], len(ftyp) + 8  # file offset of mdat payload start
     for c in chunks:
         offs.append(pos)
         pos += sum(len(fb) for fb in c)
-
-    # stts: run-length encode deltas
-    runs: list[tuple[int, int]] = []
-    for d in deltas:
-        if runs and runs[-1][1] == d:
-            runs[-1] = (runs[-1][0] + 1, d)
-        else:
-            runs.append((1, d))
-    stts = _full(
-        b"stts", 0, 0,
-        struct.pack(">I", len(runs))
-        + b"".join(struct.pack(">II", n, d) for n, d in runs),
-    )
-    stsz = _full(
-        b"stsz", 0, 0,
-        struct.pack(">II", 0, len(frames))
-        + b"".join(struct.pack(">I", len(fb)) for fb in frames),
-    )
-    # stsc runs from the ACTUAL per-chunk counts (the last chunk may be
-    # short and needs its own run — 14496-12 has no partial-chunk rule)
-    stsc_entries: list[tuple[int, int, int]] = []
-    for ci, c in enumerate(chunks, start=1):
-        if not stsc_entries or stsc_entries[-1][1] != len(c):
-            stsc_entries.append((ci, len(c), 1))
-    stsc = _full(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
-    )
-    stco = _full(
-        b"stco", 0, 0,
-        struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
-    )
-    # minimal VisualSampleEntry (14496-12 8.5.2): 6 reserved + data_ref
-    # idx, 16 predefined/reserved, width/height, resolutions, frame
-    # count, compressorname(32), depth, predefined
-    vse = (
-        b"\x00" * 6
-        + struct.pack(">H", 1)
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x480000, 0x480000)
-        + struct.pack(">I", 0)
-        + struct.pack(">H", 1)
-        + b"\x00" * 32
-        + struct.pack(">Hh", 24, -1)
-    )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, vse))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _stbl(frames, deltas, chunks, offs, _box(codec, _vse(width, height)))
     duration = sum(deltas)
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
-    dinf = _box(b"dinf", dref)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdhd = _full(
-        b"mdhd", 0, 0,
-        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
-    )
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 13)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(
-        b"tkhd", 0, 7,
-        struct.pack(">IIII", 0, 0, 1, 0)
-        + struct.pack(">I", duration)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0)
-        + _MATRIX
-        + struct.pack(">II", width << 16, height << 16),
-    )
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, timescale, duration)
-        + struct.pack(">IHH", 0x10000, 0x100, 0)
-        + b"\x00" * 8
-        + _MATRIX
-        + b"\x00" * 24
-        + struct.pack(">I", 2),
-    )
-    moov = _box(b"moov", mvhd + trak)
+    trak = _trak(stbl, timescale, duration, b"vide", width=width, height=height)
+    moov = _box(b"moov", _mvhd(timescale, duration) + trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
@@ -347,91 +389,79 @@ def encode_mp4_pcm(
     deltas = [len(b) // bps for b in blobs]
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
-    chunks: list[list[bytes]] = []
-    i = 0
-    while i < len(blobs):
-        take = first_chunk_samples if not chunks else chunk_samples
-        chunks.append(blobs[i : i + take])
-        i += take
+    chunks = _chunk_blobs(blobs, first_chunk_samples, chunk_samples)
     mdat_payload = b"".join(b"".join(c) for c in chunks)
     offs, pos = [], len(ftyp) + 8
     for c in chunks:
         offs.append(pos)
         pos += sum(len(fb) for fb in c)
-
-    runs: list[tuple[int, int]] = []
-    for d in deltas:
-        if runs and runs[-1][1] == d:
-            runs[-1] = (runs[-1][0] + 1, d)
-        else:
-            runs.append((1, d))
-    stts = _full(
-        b"stts", 0, 0,
-        struct.pack(">I", len(runs))
-        + b"".join(struct.pack(">II", n, d) for n, d in runs),
-    )
-    stsz = _full(
-        b"stsz", 0, 0,
-        struct.pack(">II", 0, len(blobs))
-        + b"".join(struct.pack(">I", len(fb)) for fb in blobs),
-    )
-    stsc_entries: list[tuple[int, int, int]] = []
-    for ci, c in enumerate(chunks, start=1):
-        if not stsc_entries or stsc_entries[-1][1] != len(c):
-            stsc_entries.append((ci, len(c), 1))
-    stsc = _full(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
-    )
-    stco = _full(
-        b"stco", 0, 0,
-        struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
-    )
-    # AudioSampleEntry (14496-12 §12.2.3): 6 reserved + data_ref_index,
-    # 8 reserved, channelcount, samplesize=16, pre_defined, reserved,
-    # samplerate as 16.16 fixed
-    ase = (
-        b"\x00" * 6
-        + struct.pack(">H", 1)
-        + b"\x00" * 8
-        + struct.pack(">HH", ch, 16)
-        + struct.pack(">HH", 0, 0)
-        + struct.pack(">I", sample_rate << 16)
-    )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, ase))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _stbl(blobs, deltas, chunks, offs, _box(codec, _ase(ch, sample_rate)))
     duration = sum(deltas)
-    smhd = _full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
-    dinf = _box(b"dinf", dref)
-    minf = _box(b"minf", smhd + dinf + stbl)
-    mdhd = _full(
-        b"mdhd", 0, 0,
-        struct.pack(">IIIIHH", 0, 0, sample_rate, duration, 0x55C4, 0),
-    )
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"soun") + b"\x00" * 13)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(
-        b"tkhd", 0, 7,
-        struct.pack(">IIII", 0, 0, 1, 0)
-        + struct.pack(">I", duration)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0x0100, 0, 0)  # volume 1.0 for audio
-        + _MATRIX
-        + struct.pack(">II", 0, 0),
-    )
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, sample_rate, duration)
-        + struct.pack(">IHH", 0x10000, 0x100, 0)
-        + b"\x00" * 8
-        + _MATRIX
-        + b"\x00" * 24
-        + struct.pack(">I", 2),
-    )
-    moov = _box(b"moov", mvhd + trak)
+    trak = _trak(stbl, sample_rate, duration, b"soun")
+    moov = _box(b"moov", _mvhd(sample_rate, duration) + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def encode_mp4_muxed(
+    frames: list[bytes],
+    deltas: list[int],
+    timescale: int,
+    width: int,
+    height: int,
+    samples,
+    sample_rate: int,
+    vcodec: bytes = b"rawb",
+    acodec: bytes = b"twos",
+    frames_per_sample: int = 256,
+) -> bytes:
+    """Encode a MUXED two-track MP4 — the common real-world shape: a
+    video trak (track 1, ``frames``/``deltas`` per :func:`encode_mp4`)
+    and a PCM audio trak (track 2, per :func:`encode_mp4_pcm`) sharing
+    one mdat (video chunks first, then audio chunks). Exercises the
+    handler-targeted track selection in :func:`parse_mp4`: readers must
+    pick their trak by hdlr fourcc, not take the first one."""
+    import numpy as np
+
+    if len(frames) != len(deltas):
+        raise ValueError("one delta per frame required")
+    if acodec not in (b"twos", b"sowt"):
+        raise ValueError(f"PCM sample-entry fourcc must be twos/sowt, got {acodec!r}")
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[0] == 0 or not (1 <= x.shape[1] < 1 << 16):
+        raise ValueError("non-empty (n,) or (n, channels) int16 array required")
+    ch = x.shape[1]
+    if not (0 < sample_rate < 1 << 16):
+        raise ValueError("sample_rate must fit the 16.16 samplerate field")
+    pcm = x.astype(">i2" if acodec == b"twos" else "<i2").tobytes()
+    bps = 2 * ch
+    step = frames_per_sample * bps
+    a_blobs = [pcm[i : i + step] for i in range(0, len(pcm), step)]
+    a_deltas = [len(b) // bps for b in a_blobs]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    v_chunks = _chunk_blobs(frames, 2, 3)
+    a_chunks = _chunk_blobs(a_blobs, 2, 3)
+    mdat_payload = b"".join(
+        b"".join(c) for c in v_chunks
+    ) + b"".join(b"".join(c) for c in a_chunks)
+    pos = len(ftyp) + 8
+    v_offs, a_offs = [], []
+    for offs, chunks in ((v_offs, v_chunks), (a_offs, a_chunks)):
+        for c in chunks:
+            offs.append(pos)
+            pos += sum(len(fb) for fb in c)
+
+    v_stbl = _stbl(frames, deltas, v_chunks, v_offs, _box(vcodec, _vse(width, height)))
+    v_dur = sum(deltas)
+    v_trak = _trak(v_stbl, timescale, v_dur, b"vide", track_id=1, width=width, height=height)
+    a_stbl = _stbl(a_blobs, a_deltas, a_chunks, a_offs, _box(acodec, _ase(ch, sample_rate)))
+    a_dur = sum(a_deltas)
+    a_trak = _trak(a_stbl, sample_rate, a_dur, b"soun", track_id=2)
+    # movie header in the video timescale; duration covers both tracks
+    mv_dur = max(v_dur, a_dur * timescale // sample_rate)
+    moov = _box(b"moov", _mvhd(timescale, mv_dur, next_track_id=3) + v_trak + a_trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
@@ -467,10 +497,33 @@ def _find(buf: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
     raise ValueError(f"missing {tag!r} box")
 
 
-def parse_mp4(payload: bytes) -> dict:
-    """Parse an ISO BMFF file's first video track into per-sample
-    extents: ``{"timescale", "duration_ms", "codec", "n_samples",
+def _trak_handler(payload: bytes, trak_s: int, trak_e: int) -> str | None:
+    """Peek a trak's hdlr fourcc for track selection: missing hdlr
+    defaults to video (the strict parse's rule); a trak too corrupt to
+    peek returns None so selection skips it — the chosen trak then
+    parses strictly and surfaces its own errors."""
+    try:
+        mdia_s, mdia_e = _find(payload, trak_s, trak_e, b"mdia")
+    except ValueError:
+        return None
+    try:
+        hdlr_s, hdlr_e = _find(payload, mdia_s, mdia_e, b"hdlr")
+    except ValueError:
+        return "vide"
+    if hdlr_e - hdlr_s >= 12:
+        return payload[hdlr_s + 8 : hdlr_s + 12].decode("latin-1")
+    return "vide"
+
+
+def parse_mp4(payload: bytes, want_handler: str | None = None) -> dict:
+    """Parse one track of an ISO BMFF file into per-sample extents:
+    ``{"timescale", "duration_ms", "codec", "n_samples",
     "samples": [(idx, offset, size, ts_units)], "width", "height"}``.
+
+    ``want_handler`` selects the track in a MUXED file: ``"vide"`` /
+    ``"soun"`` picks the first trak whose hdlr matches (ValueError when
+    none does); None keeps the historical first-trak behavior, which
+    reads the file's primary track.
 
     Real sample-table reconstruction: stsc runs expanded against the
     stco/co64 chunk list, per-sample offsets accumulated within each
@@ -481,20 +534,31 @@ def parse_mp4(payload: bytes) -> dict:
     if len(payload) < 8:
         raise ValueError("not an MP4 payload")
     try:
-        return _parse_mp4_inner(payload)
+        return _parse_mp4_inner(payload, want_handler)
     except struct.error as exc:
         # short buffers under any unpack_from are corrupt input, not a
         # programming error — normalize to the poison-row contract
         raise ValueError(f"truncated MP4 structure: {exc}") from exc
 
 
-def _parse_mp4_inner(payload: bytes) -> dict:
+def _parse_mp4_inner(payload: bytes, want_handler: str | None = None) -> dict:
     top = list(_walk_boxes(payload, 0, len(payload)))
     tags = [t for t, _, _ in top]
     if b"moov" not in tags:
         raise ValueError("missing moov box")
     moov_s, moov_e = next((s, e) for t, s, e in top if t == b"moov")
-    trak_s, trak_e = _find(payload, moov_s, moov_e, b"trak")
+    traks = [(s, e) for t, s, e in _walk_boxes(payload, moov_s, moov_e) if t == b"trak"]
+    if not traks:
+        raise ValueError("missing b'trak' box")
+    if want_handler is None:
+        trak_s, trak_e = traks[0]
+    else:
+        for cand_s, cand_e in traks:
+            if _trak_handler(payload, cand_s, cand_e) == want_handler:
+                trak_s, trak_e = cand_s, cand_e
+                break
+        else:
+            raise ValueError(f"no {want_handler!r} track in moov")
     mdia_s, mdia_e = _find(payload, trak_s, trak_e, b"mdia")
     mdhd_s, mdhd_e = _find(payload, mdia_s, mdia_e, b"mdhd")
     version = payload[mdhd_s]
@@ -724,7 +788,7 @@ def sample_frames_mp4(
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    meta = parse_mp4(b)
+                    meta = parse_mp4(b, "vide")  # the video track of a muxed file
                 except Exception as exc:
                     refs.append(ref)
                     tss.append(-1)
@@ -853,11 +917,11 @@ def decode_mp4_frames(
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    meta = parse_mp4(b)
+                    meta = parse_mp4(b, "vide")  # the video track of a muxed file
                 except Exception as exc:
                     poison(ref, f"{type(exc).__name__}: {exc}")
                     continue
-                if meta["handler"] != "vide":
+                if meta["handler"] != "vide":  # defense: selection guarantees it
                     poison(ref, f"ValueError: not a video track (handler {meta['handler']!r})")
                     continue
                 tsc, samples, total_ms = meta["timescale"], meta["samples"], meta["duration_ms"]
@@ -920,8 +984,8 @@ def decode_mp4_audio(assets: DataFrame) -> DataFrame:
                 refs.append(ref)
                 rate = vec = err = None
                 try:
-                    meta = parse_mp4(b)
-                    if meta["handler"] != "soun":
+                    meta = parse_mp4(b, "soun")  # the audio track of a muxed file
+                    if meta["handler"] != "soun":  # defense: selection guarantees it
                         raise ValueError(f"not an audio track (handler {meta['handler']!r})")
                     if meta["codec"] not in ("twos", "sowt"):
                         raise NotImplementedError(
@@ -1050,11 +1114,28 @@ def synth_mp4_pcm_sowt(doc_id: int) -> bytes:
     )
 
 
+def synth_mp4_muxed(doc_id: int) -> bytes:
+    """Muxed A+V MP4 combining two existing arithmetic specs: the
+    synth_mp4 video track (rawb BMP samples, 8x8, same deltas) plus the
+    synth_mp4_pcm audio track ('twos' mono synth_audio waveform at
+    8 kHz, same frames-per-sample rule) in one file."""
+    from .multimodal import encode_bmp, synth_audio, synth_image
+
+    n = 5 + doc_id % 4
+    frames = [encode_bmp(synth_image(doc_id + k, 8, 8)) for k in range(n)]
+    deltas = [50 + (doc_id * 13 + k * 7) % 200 for k in range(n)]
+    return encode_mp4_muxed(
+        frames, deltas, 1000, 8, 8,
+        synth_audio(doc_id), 8000,
+        frames_per_sample=200 + (doc_id % 3) * 100,
+    )
+
+
 def synth_container_assets(docs: DataFrame, kind: str) -> DataFrame:
     """documents(doc_id) → (media_ref, kind, payload, mime) with valid
     MP3 frame streams / MP4 containers synthesized per row inside an
     Arrow batch kernel."""
-    if kind not in ("mp3", "mp4", "mjpeg", "pcm_mp4", "pcm_sowt"):
+    if kind not in ("mp3", "mp4", "mjpeg", "pcm_mp4", "pcm_sowt", "muxed"):
         raise ValueError(f"unknown synthetic container kind {kind!r}")
     out_schema = T.StructType(
         [
@@ -1080,6 +1161,9 @@ def synth_container_assets(docs: DataFrame, kind: str) -> DataFrame:
             elif kind == "pcm_sowt":
                 payloads = [synth_mp4_pcm_sowt(int(d)) for d in ids]
                 mime, kname = "audio/mp4", "audio"
+            elif kind == "muxed":
+                payloads = [synth_mp4_muxed(int(d)) for d in ids]
+                mime, kname = "video/mp4", "video"
             else:
                 payloads = [synth_mp4(int(d)) for d in ids]
                 mime, kname = "video/mp4", "video"

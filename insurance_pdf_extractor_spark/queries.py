@@ -2238,7 +2238,7 @@ def q_checkpoint_lineage(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register("media_containers", _fx("media_containers"))
 def q_media_containers(spark, sf_dir):
-    """Three src branches through the real container parsers (r5):
+    """Five src branches through the real container parsers (r5):
 
     src='meta' — MP3 frame-walk (MPEG-1 Layer III VBR frame table,
     ID3v2 syncsafe skip, duration/bitrate math) + ISO BMFF sample-table
@@ -2280,12 +2280,19 @@ def q_media_containers(spark, sf_dir):
         sample_frames_mp4,
         synth_container_assets,
     )
+
+    # (src='meta'/'frames'/'adecode' additionally carry MUXED A+V files
+    # — r5: one payload, two traks; every kernel must select its track
+    # by hdlr fourcc: metadata reads the primary video track, frame
+    # sampling slices the video samples, audio decode reassembles the
+    # PCM track out of the shared mdat.)
     from .operators.multimodal import sample_frames
 
     d = _load(spark, sf_dir, "documents")
     d60 = d.filter(F.col("doc_id") < 60)
     mp4_assets = synth_container_assets(d60, "mp4")
     mjpeg_assets = synth_container_assets(d60, "mjpeg")
+    muxed_assets = synth_container_assets(d60, "muxed")
     pcm_assets = synth_container_assets(d60, "pcm_mp4").unionByName(
         synth_container_assets(d60, "pcm_sowt")
     )
@@ -2293,6 +2300,7 @@ def q_media_containers(spark, sf_dir):
         synth_container_assets(d60, "mp3")
         .unionByName(mp4_assets)
         .unionByName(mjpeg_assets)
+        .unionByName(muxed_assets)
         .unionByName(pcm_assets)
     )
     nul = lambda t: F.lit(None).cast(t)
@@ -2306,7 +2314,7 @@ def q_media_containers(spark, sf_dir):
         nul("long").alias("frame_ts"), nul("string").alias("frame_sha1"),
         nul("string").alias("features"),
     )
-    frames = sample_frames_mp4(mp4_assets, every_ms=100).select(
+    frames = sample_frames_mp4(mp4_assets.unionByName(muxed_assets), every_ms=100).select(
         F.lit("frames").alias("src"),
         "media_ref",
         nul("string").alias("container"), nul("long").alias("n_bytes"),
@@ -2328,7 +2336,7 @@ def q_media_containers(spark, sf_dir):
         nul("string").alias("frame_sha1"),
         fmt_feats(F.col("features")).alias("features"),
     )
-    adecode = decode_mp4_audio(pcm_assets).select(
+    adecode = decode_mp4_audio(pcm_assets.unionByName(muxed_assets)).select(
         F.lit("adecode").alias("src"),
         "media_ref",
         nul("string").alias("container"), nul("long").alias("n_bytes"),

@@ -336,6 +336,94 @@ def test_mp4_pcm_sowt_stereo_roundtrip():
     )
 
 
+def test_mp4_muxed_track_selection():
+    """A muxed A+V file: want_handler picks the right trak (video spec
+    frames, audio spec waveform), default parse reads the first (video)
+    trak, and a missing handler is a clean ValueError."""
+    import numpy as np
+    import pytest
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        synth_mp4,
+        synth_mp4_muxed,
+        synth_mp4_pcm,
+    )
+    from insurance_pdf_extractor_spark.operators.multimodal import (
+        decode_bmp,
+        synth_audio,
+        synth_image,
+    )
+
+    for d in (0, 3, 6):
+        b = synth_mp4_muxed(d)
+        mv = parse_mp4(b, "vide")
+        assert mv["handler"] == "vide" and mv["codec"] == "rawb"
+        assert mv["n_samples"] == 5 + d % 4
+        for k, (_, off, size, _) in enumerate(mv["samples"]):
+            assert (decode_bmp(b[off : off + size]) == synth_image(d + k, 8, 8)).all()
+        ma = parse_mp4(b, "soun")
+        assert ma["handler"] == "soun" and ma["codec"] == "twos"
+        assert (ma["channels"], ma["sample_rate_hz"]) == (1, 8000)
+        pcm = b"".join(b[off : off + size] for _, off, size, _ in ma["samples"])
+        assert np.array_equal(
+            np.frombuffer(pcm, dtype=">i2").astype(np.int16), synth_audio(d)
+        )
+        # default = first trak (video), byte-for-byte the same table
+        assert parse_mp4(b)["samples"] == mv["samples"]
+    with pytest.raises(ValueError, match="no 'soun' track"):
+        parse_mp4(synth_mp4(2), "soun")
+    with pytest.raises(ValueError, match="no 'vide' track"):
+        parse_mp4(synth_mp4_pcm(2), "vide")
+
+
+def test_mp4_muxed_kernels(spark):
+    """All three media kernels pick their track out of ONE muxed
+    payload: metadata reports the primary (video) track, frame sampling
+    slices video samples, audio decode reassembles the PCM track."""
+    import numpy as np
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        decode_mp4_audio,
+        decode_mp4_frames,
+        sample_frames_mp4,
+        synth_container_assets,
+    )
+    from insurance_pdf_extractor_spark.operators.multimodal import (
+        bmp_features,
+        synth_audio,
+        synth_image,
+        wav_features,
+    )
+
+    docs = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    assets = synth_container_assets(docs, "muxed")
+
+    from insurance_pdf_extractor_spark.operators.containers import (
+        extract_container_metadata,
+    )
+
+    meta = {r["media_ref"]: r for r in extract_container_metadata(assets).collect()}
+    for d in (1, 4):
+        r = meta[f"muxed-{d}"]
+        assert r["err"] is None and r["codec"] == "rawb" and r["timescale"] == 1000
+        assert r["n_frames"] == 5 + d % 4
+
+    frames = sample_frames_mp4(assets, every_ms=100).collect()
+    assert all(r["err"] is None for r in frames)
+    vrows = decode_mp4_frames(assets, every_ms=200).collect()
+    assert all(r["err"] is None for r in vrows)
+    first = next(r for r in vrows if r["media_ref"] == "muxed-1" and r["frame_ts"] == 0)
+    want_v = np.asarray(bmp_features(synth_image(1, 8, 8)), dtype=np.float32)
+    assert np.array_equal(np.asarray(first["features"], dtype=np.float32), want_v)
+
+    arows = {r["media_ref"]: r for r in decode_mp4_audio(assets).collect()}
+    for d in (1, 4):
+        r = arows[f"muxed-{d}"]
+        assert r["err"] is None and r["sample_rate"] == 8000
+        want_a = np.asarray(wav_features(synth_audio(d), 8000), dtype=np.float32)
+        assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want_a)
+
+
 def test_encode_mp4_pcm_validation():
     import numpy as np
     import pytest
@@ -480,10 +568,11 @@ def test_decode_mp4_audio_kernel(spark):
         assert r["err"] is None and r["sample_rate"] == 8000
         want = np.asarray(wav_features(synth_audio(d), 8000), dtype=np.float32)
         assert np.array_equal(np.asarray(r["features"], dtype=np.float32), want)
-    # cross-kind: a video track is a loud poison row, not a crash
+    # cross-kind: a video-only file is a loud poison row, not a crash
+    # (handler-targeted selection finds no audio trak to decode)
     vid = synth_container_assets(docs, "mjpeg")
     bad = decode_mp4_audio(vid).collect()
-    assert all("not an audio track" in r["err"] for r in bad)
+    assert all("no 'soun' track" in r["err"] for r in bad)
 
 
 def test_decode_kernels_poison_corrupt_payloads(spark):

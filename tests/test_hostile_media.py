@@ -84,7 +84,26 @@ def _synth_sowt7():
     return synth_mp4_pcm_sowt(7)
 
 
+def _synth_muxed7():
+    from insurance_pdf_extractor_spark.operators.containers import synth_mp4_muxed
+
+    return synth_mp4_muxed(7)
+
+
 def _full_decode_mp4(b: bytes):
+    return _full_decode_track(parse_mp4(b), b)
+
+
+def _full_decode_muxed(b: bytes):
+    """The kernels' view of a muxed file: handler-targeted parse per
+    track, then full content decode of each."""
+    return (
+        _full_decode_track(parse_mp4(b, "vide"), b),
+        _full_decode_track(parse_mp4(b, "soun"), b),
+    )
+
+
+def _full_decode_track(m: dict, b: bytes):
     """Scalar mirror of the r5 CONTENT-decode kernels: parse the sample
     table, then decode every sample's bytes (video → per-fourcc image
     decode; 'twos' audio → PCM reassembly + waveform features). The
@@ -92,8 +111,6 @@ def _full_decode_mp4(b: bytes):
     struct.error — never a crash, hang, or unbounded allocation."""
     from insurance_pdf_extractor_spark.operators.containers import _decode_mp4_frame
     from insurance_pdf_extractor_spark.operators.multimodal import wav_features
-
-    m = parse_mp4(b)
     if m["handler"] == "soun":
         if m["codec"] not in ("twos", "sowt"):
             raise NotImplementedError(m["codec"])
@@ -128,6 +145,7 @@ def _full_decode_mp4(b: bytes):
         ("mjpeg_mp4", _synth_mjpeg7),
         ("pcm_mp4", _synth_pcm7),
         ("sowt_mp4", _synth_sowt7),
+        ("muxed_mp4", _synth_muxed7),
     ],
 )
 def test_corruption_sweep_never_crashes(codec, make):
@@ -141,6 +159,7 @@ def test_corruption_sweep_never_crashes(codec, make):
         "mjpeg_mp4": _full_decode_mp4,
         "pcm_mp4": _full_decode_mp4,
         "sowt_mp4": _full_decode_mp4,
+        "muxed_mp4": _full_decode_muxed,
     }[codec]
     payload = make()
     survived = failed = 0

@@ -1371,6 +1371,111 @@ def _fx_mp4_pcm_sowt_bytes(doc_id: int, n: int = 1600, rate: int = 11025) -> byt
     return _fx_mp4_pcm_container(pcm, 220 + (doc_id % 3) * 110, rate, 2, b"sowt")
 
 
+def _fx_mp4_muxed_bytes(doc_id: int) -> bytes:
+    """Independent muxed A+V MP4 from the synth_mp4_muxed spec: the
+    synth_mp4 video track (rawb BMP samples, track 1) plus the
+    synth_mp4_pcm audio track ('twos' waveform, track 2) sharing one
+    mdat — video chunks first, then audio chunks. Scalar struct
+    packing, its own box framing."""
+    vdeltas = _fx_mp4_deltas(doc_id)
+    frames = [_fx_bmp_bytes(doc_id + k, 8, 8) for k in range(len(vdeltas))]
+    samples = [(doc_id * 40503 + i * 2654435761) % 65536 - 32768 for i in range(1600)]
+    pcm = struct.pack(">1600h", *samples)
+    fps = 200 + (doc_id % 3) * 100
+    ablobs = [pcm[i : i + fps * 2] for i in range(0, len(pcm), fps * 2)]
+    adeltas = [len(b) // 2 for b in ablobs]
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    def chunked(blobs):
+        out, i = [], 0
+        while i < len(blobs):
+            take = 2 if not out else 3
+            out.append(blobs[i : i + take])
+            i += take
+        return out
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    v_chunks, a_chunks = chunked(frames), chunked(ablobs)
+    mdat_payload = b"".join(b"".join(c) for c in v_chunks) + b"".join(
+        b"".join(c) for c in a_chunks
+    )
+    pos = len(ftyp) + 8
+    v_offs, a_offs = [], []
+    for offs, cks in ((v_offs, v_chunks), (a_offs, a_chunks)):
+        for c in cks:
+            offs.append(pos)
+            pos += sum(len(fb) for fb in c)
+
+    def stbl_box(blobs, deltas, cks, offs, entry):
+        runs = []
+        for d in deltas:
+            if runs and runs[-1][1] == d:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, d])
+        stts = full(b"stts", 0, 0, struct.pack(">I", len(runs)) + b"".join(struct.pack(">II", n, d) for n, d in runs))
+        stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, len(blobs)) + b"".join(struct.pack(">I", len(fb)) for fb in blobs))
+        sc = []
+        for ci, c in enumerate(cks, start=1):
+            if not sc or sc[-1][1] != len(c):
+                sc.append((ci, len(c), 1))
+        stsc = full(b"stsc", 0, 0, struct.pack(">I", len(sc)) + b"".join(struct.pack(">III", *e) for e in sc))
+        stco = full(b"stco", 0, 0, struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs))
+        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        return box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    def trak_box(stbl, timescale, duration, handler, track_id, volume, w, h, mhd):
+        dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")))
+        minf = box(b"minf", mhd + dinf + stbl)
+        mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+        hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s", 0, handler) + b"\x00" * 13)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, track_id, 0) + struct.pack(">I", duration)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, volume, 0, 0) + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        return box(b"trak", tkhd + mdia)
+
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 8, 8) + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    ase = (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+        + struct.pack(">HH", 1, 16) + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", 8000 << 16)
+    )
+    v_dur, a_dur = sum(vdeltas), sum(adeltas)
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    smhd = full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
+    v_trak = trak_box(
+        stbl_box(frames, vdeltas, v_chunks, v_offs, box(b"rawb", vse)),
+        1000, v_dur, b"vide", 1, 0, 8, 8, vmhd,
+    )
+    a_trak = trak_box(
+        stbl_box(ablobs, adeltas, a_chunks, a_offs, box(b"twos", ase)),
+        8000, a_dur, b"soun", 2, 0x0100, 0, 0, smhd,
+    )
+    mv_dur = max(v_dur, a_dur * 1000 // 8000)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, mv_dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + matrix + b"\x00" * 24 + struct.pack(">I", 3),
+    )
+    return ftyp + box(b"mdat", mdat_payload) + box(b"moov", mvhd + v_trak + a_trak)
+
+
 def _fx_mp4_pcm_container(pcm: bytes, fps: int, rate: int, ch: int, fourcc: bytes) -> bytes:
     bps = 2 * ch
     step = fps * bps
@@ -1520,6 +1625,26 @@ def fx_media_containers(docs) -> pa.Table:
                 emit(src="vdecode", media_ref=f"mjpeg-{doc_id}", frame_ts=ts,
                      features=feat_cache[k])
                 ts += 200
+            # --- r5: muxed A+V — meta (primary video track), frame
+            # sampling over the video trak, audio decode of the PCM trak ---
+            mx = _fx_mp4_muxed_bytes(doc_id)
+            vdeltas = _fx_mp4_deltas(doc_id)
+            emit(src="meta", media_ref=f"muxed-{doc_id}", container="mp4",
+                 n_bytes=len(mx), sha1=hashlib.sha1(mx).hexdigest(),
+                 n_frames=len(vdeltas), duration_ms=sum(vdeltas),
+                 timescale=1000, codec="rawb")
+            cum, t = [], 0
+            for d in vdeltas:
+                cum.append(t)
+                t += d
+            ts = 0
+            while ts < t:
+                k = max(i for i, c in enumerate(cum) if c <= ts)
+                emit(src="frames", media_ref=f"muxed-{doc_id}", frame_ts=ts,
+                     frame_sha1=hashlib.sha1(_fx_bmp_bytes(doc_id + k, 8, 8)).hexdigest())
+                ts += 100
+            emit(src="adecode", media_ref=f"muxed-{doc_id}",
+                 timescale=8000, features=fmt(_fx_wav_features(doc_id)))
             # --- r5: PCM MP4 audio — meta + decoded waveform features ---
             pb = _fx_mp4_pcm_bytes(doc_id)
             fps = 200 + (doc_id % 3) * 100
