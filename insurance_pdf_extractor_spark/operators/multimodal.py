@@ -88,6 +88,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # a zero/negative-dim image would flow NaN features downstream
+        # (0/0 block means) instead of poisoning its row loudly
+        raise ValueError(f"non-positive BMP dimensions ({w}x{h})")
     stride = (w * 3 + 3) & ~3
     if offset + stride * h > len(payload):
         raise ValueError("truncated BMP body")

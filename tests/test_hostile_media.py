@@ -173,6 +173,22 @@ def test_corruption_sweep_never_crashes(codec, make):
     assert survived + failed == 40
 
 
+def test_bmp_zero_dimensions_rejected():
+    """A BMP declaring width or height 0 decodes to a zero-pixel array
+    whose features are silent NaNs (0/0 block means) — it must poison
+    loudly instead. Found by the muxed-path fuzz sweep."""
+    for field_off in (18, 22):  # biWidth, biHeight
+        b = bytearray(encode_bmp(synth_image(1, 8, 8)))
+        struct.pack_into("<i", b, field_off, 0)
+        with pytest.raises(ValueError, match="non-positive BMP"):
+            decode_bmp(bytes(b))
+    # negative width is equally hostile (height's sign is top-down)
+    b = bytearray(encode_bmp(synth_image(1, 8, 8)))
+    struct.pack_into("<i", b, 18, -8)
+    with pytest.raises(ValueError, match="non-positive BMP"):
+        decode_bmp(bytes(b))
+
+
 def test_png_decompression_bomb_rejected():
     """A tiny IDAT claiming huge dimensions must be rejected BEFORE
     inflating: 8 KB of zlib-compressed zeros would expand to ~3 GB if
