@@ -101,6 +101,34 @@ def extract_spans_udf(content: pd.Series, media: pd.Series, n_pages: pd.Series) 
 # ---------------------------------------------------------------------------
 
 
+@F.pandas_udf(T.BinaryType())
+def decode_filters_udf(content: pd.Series) -> pd.Series:
+    """Rewrite filtered stream objects to plain bytes (see
+    operators/filters.py). The shard path needs this BEFORE marker
+    scanning: compressed binary payloads can contain accidental
+    ``%%PAGE`` bytes that would corrupt page-range splits, and shard
+    slicing runs JVM-side on the column this UDF returns. The small-doc
+    path decodes inside ``tokenize_content`` instead and never pays an
+    extra Arrow round trip. A budget-cap bomb poisons the document
+    text-free (empty content → one empty shard → media-only spans),
+    matching the small-doc path's poison rule."""
+    from .filters import decode_content_filters
+
+    out = []
+    for c in content:
+        if c is None:
+            out.append(None)
+            continue
+        b = bytes(c)
+        if b"/Filter" in b and b"stream" in b:
+            try:
+                b = decode_content_filters(b)
+            except ValueError:
+                b = b""
+        out.append(b)
+    return pd.Series(out)
+
+
 def shard_content(content: bytes, pages_per_shard: int) -> list[tuple[int, bytes, int, int]]:
     """Split a content stream at %%PAGE markers into shards of
     ``pages_per_shard`` pages. Returns (shard_idx, chunk, base_offset,

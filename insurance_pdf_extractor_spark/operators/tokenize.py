@@ -160,6 +160,19 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
     """
     if not content:
         return []
+    if b"/Filter" in content and b"stream" in content:
+        # real-world PDFs ship content streams filtered (FlateDecode
+        # et al.); rewrite them to the plain buffer first. The two
+        # substring guards are C-level and keep the uncompressed
+        # corpus fast path at zero added cost. A decompression bomb
+        # (ValueError from the budget cap) poisons the document
+        # text-free, mirroring the hostile-media poison-row rule.
+        from .filters import decode_content_filters
+
+        try:
+            content = decode_content_filters(content)
+        except ValueError:
+            return []
     text = content.decode("latin-1")
     n = len(text)
     pos = 0

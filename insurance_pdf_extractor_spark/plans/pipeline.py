@@ -39,6 +39,7 @@ from ..constants import (
     SHARD_SIZE_BYTES,
 )
 from ..operators.assemble import (
+    decode_filters_udf,
     extract_spans_udf,
     merge_sharded_lines,
     shard_lines_udf,
@@ -146,6 +147,18 @@ def _extract_spans_sized(
     )
 
     big = ok.filter(F.col("size_bytes") > shard_size_bytes)
+    # filtered (compressed) oversized docs must be rewritten to plain
+    # bytes BEFORE the %%PAGE marker scan and JVM-side slicing (see
+    # decode_filters_udf); the contains() guard keeps plain-corpus
+    # plans from ever invoking the UDF — and only the oversized tail
+    # can pay this extra Arrow round trip at all
+    big = big.withColumn(
+        "content",
+        F.when(
+            F.contains(F.col("content"), F.lit(b"/Filter")),
+            decode_filters_udf("content"),
+        ).otherwise(F.col("content")),
+    )
     # offsets-only sharding: bytes cross Arrow into Python once (marker
     # scan), chunks are sliced JVM-side INSIDE the transform that feeds
     # the explode. Slicing before the Generate matters: exploding

@@ -2600,12 +2600,22 @@ def q_media_features(spark, sf_dir):
 def q_extract_pipeline(spark, sf_dir):
     """Flagship span pipeline on a corpus deterministically derived from
     the shared documents table: each row's text is rendered into a
-    content stream, then extracted back through the full engine."""
+    content stream, then extracted back through the full engine.
+
+    mixed_filters=True (round 5): each doc's page content ships inside
+    a PDF stream object whose filter chain is f(doc_id) — FlateDecode /
+    LZWDecode / ASCIIHexDecode / ASCII85Decode+FlateDecode /
+    RunLengthDecode / plain (sources/render.py FILTER_MIX), the
+    real-world compressed-PDF input shape the reference reads through
+    pypdf. The fixture is UNCHANGED: operators/filters.py's splice
+    contract makes the filtered render decode to the byte-identical
+    plain buffer, so every span INCLUDING offsets must still hash-match
+    — any decode bug goes red on this flagship gate."""
     from .plans.pipeline import extract_documents
     from .sources.render import render_documents_raw
 
     d = _load(spark, sf_dir, "documents")
-    raw = render_documents_raw(d)
+    raw = render_documents_raw(d, mixed_filters=True)
     docs, _rejects = extract_documents(raw, presalted=True)
     return docs.select(
         "doc_id", F.posexplode("spans").alias("order", "span")

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.filters import stream_object_bytes
+
 WORDS_PER_LINE = 10
 LINES_PER_PAGE = 18
 
@@ -51,7 +53,19 @@ def info_obj_bytes(meta: dict[str, str]) -> bytes:
     return f"1 0 obj\n<< {body} >>\nendobj\n".encode()
 
 
-def render_text(doc_id: str, text: str, meta: dict[str, str] | None = None) -> tuple[bytes, int]:
+def render_text(
+    doc_id: str,
+    text: str,
+    meta: dict[str, str] | None = None,
+    filters: tuple[str, ...] | None = None,
+) -> tuple[bytes, int]:
+    """``filters`` (e.g. ``("FlateDecode",)`` or the chain
+    ``("ASCII85Decode", "FlateDecode")``) wraps each page's content in
+    an indirect PDF stream object encoded with that filter chain — the
+    shape real-world PDFs ship. The decode splice contract
+    (operators/filters.py) guarantees the filtered render decodes back
+    to the byte-identical plain render, so span offsets (and therefore
+    the flagship fixture) are filter-invariant."""
     words = (text or "").split()
     lines = [
         " ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)
@@ -60,12 +74,17 @@ def render_text(doc_id: str, text: str, meta: dict[str, str] | None = None) -> t
     out = [b"%PDF-1.4\n", info_obj_bytes(meta if meta is not None else default_metadata(doc_id))]
     for pg, pg_lines in enumerate(pages):
         out.append(f"%%PAGE {pg}\n".encode())
-        out.append(f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode())
+        body = [f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode()]
         y = 740.0
         for line in pg_lines:
-            out.append(f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode())
+            body.append(f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode())
             y -= 20.0
-        out.append(f"BT\n72.0 {y:.1f} Td\n(Page {pg + 1} of {len(pages)}) Tj\nET\n".encode())
+        body.append(f"BT\n72.0 {y:.1f} Td\n(Page {pg + 1} of {len(pages)}) Tj\nET\n".encode())
+        page_body = b"".join(body)
+        if filters:
+            out.append(stream_object_bytes(page_body, filters, obj_num=pg + 2))
+        else:
+            out.append(page_body)
     return b"".join(out), len(pages)
 
 
@@ -79,6 +98,36 @@ def _render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"content": contents, "n_pages": n_pages})
 
 
+# Deterministic per-doc filter assignment for the mixed-compression
+# render: every filter (and one chain) is exercised across any
+# non-trivial corpus, plain renders included, purely as f(doc_id).
+FILTER_MIX: tuple[tuple[str, ...] | None, ...] = (
+    None,
+    ("FlateDecode",),
+    ("LZWDecode",),
+    ("ASCIIHexDecode",),
+    ("ASCII85Decode", "FlateDecode"),
+    ("RunLengthDecode",),
+)
+
+
+def filters_for_doc(doc_id: str) -> tuple[str, ...] | None:
+    import hashlib
+
+    h = int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[:8], 16)
+    return FILTER_MIX[h % len(FILTER_MIX)]
+
+
+@F.pandas_udf(RENDERED)
+def _render_mixed_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    contents, n_pages = [], []
+    for d, t in zip(doc_id, text):
+        c, n = render_text(str(d), t, filters=filters_for_doc(str(d)))
+        contents.append(c)
+        n_pages.append(n)
+    return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
 # Rendering IS a pure function of (doc_id, text); asNondeterministic()
 # only withdraws Catalyst's license to DUPLICATE the call — without it,
 # pushing the pipeline's validity filters (which reference rendered
@@ -87,9 +136,12 @@ def _render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
 # ArrowEvalPython render nodes per branch, 6 renders of the corpus for
 # a 3-branch plan).
 render_udf = _render_udf.asNondeterministic()
+render_mixed_udf = _render_mixed_udf.asNondeterministic()
 
 
-def render_documents_raw(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+def render_documents_raw(
+    documents: DataFrame, partitions: int | None = None, mixed_filters: bool = False
+) -> DataFrame:
     """documents(doc_id, text, ...) → documents_raw for the pipeline.
 
     Salts/repartitions the SLIM text rows by hash(doc_id) BEFORE the
@@ -99,13 +151,21 @@ def render_documents_raw(documents: DataFrame, partitions: int | None = None) ->
     shuffle payload here is doc_id+text — far cheaper than shuffling
     rendered byte streams afterwards — and downstream stages inherit
     the spread, so ``extract_documents(..., presalted=True)`` can skip
-    its own repartition."""
+    its own repartition.
+
+    ``mixed_filters=True`` renders each page's content inside a
+    PDF stream object whose filter chain is a deterministic function
+    of doc_id (``FILTER_MIX`` — Flate/LZW/ASCIIHex/ASCII85+Flate/RLE
+    plus plain), exercising the real-world compressed-PDF input shape;
+    the extraction output is byte-for-byte identical to the plain
+    render (operators/filters.py splice contract)."""
     spark = documents.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     documents = documents.repartition(n_part, F.xxhash64(F.col("doc_id").cast("string")))
+    udf = render_mixed_udf if mixed_filters else render_udf
     r = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        render_udf(F.col("doc_id").cast("string"), F.col("text")).alias("r"),
+        udf(F.col("doc_id").cast("string"), F.col("text")).alias("r"),
     )
     return r.select(
         "doc_id",
