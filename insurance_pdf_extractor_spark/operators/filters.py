@@ -358,12 +358,27 @@ ENCODERS = {
 }
 
 
+def _split_predictor(name: str) -> tuple[str, int | None]:
+    """``"FlateDecode/P12"`` → (``"FlateDecode"``, 12): the suffix
+    convention the render/test side uses to request a §7.4.4.4
+    predictor (always Columns=1, which divides any payload length)
+    while keeping filter mixes plain name tuples."""
+    if "/P" in name:
+        base, p = name.split("/P", 1)
+        return base, int(p)
+    return name, None
+
+
 def encode_chain(data: bytes, names: tuple[str, ...]) -> bytes:
     """Apply encoders so that decoding with ``/Filter [names…]`` (which
     decodes left-to-right) recovers ``data`` — i.e. encode in reverse
-    list order."""
+    list order. A predictor suffix applies BEFORE its filter's
+    compression (decode undoes it after decompression)."""
     for nm in reversed(names):
-        data = ENCODERS[nm](data)
+        base, pred = _split_predictor(nm)
+        if pred is not None:
+            data = encode_predictor(data, pred, columns=1)
+        data = ENCODERS[base](data)
     return data
 
 
@@ -372,8 +387,11 @@ def stream_object_bytes(data: bytes, names: tuple[str, ...], obj_num: int = 2) -
     chain — the render-side counterpart of the decoder's splice
     contract (decode(wrap(data)) drops the wrapper exactly)."""
     enc = encode_chain(data, names)
-    f = f"/{names[0]}" if len(names) == 1 else "[ " + " ".join("/" + n for n in names) + " ]"
-    head = f"{obj_num} 0 obj\n<< /Length {len(enc)} /Filter {f} >>\nstream\n".encode()
+    bases = [_split_predictor(n)[0] for n in names]
+    preds = [p for n in names if (p := _split_predictor(n)[1]) is not None]
+    f = f"/{bases[0]}" if len(bases) == 1 else "[ " + " ".join("/" + n for n in bases) + " ]"
+    parms = f" /DecodeParms << /Predictor {preds[0]} /Columns 1 >>" if preds else ""
+    head = f"{obj_num} 0 obj\n<< /Length {len(enc)} /Filter {f}{parms} >>\nstream\n".encode()
     return head + enc + b"\nendstream\nendobj\n"
 
 
@@ -443,6 +461,160 @@ def _parse_filters(d: bytes) -> tuple[bytes, ...] | None:
     if m.group("one") is not None:
         return (m.group("one"),)
     return tuple(_NAME.findall(m.group("arr")))
+
+
+# --- predictors (§7.4.4.4, LZWDecode/FlateDecode parameter): PNG
+# predictors 10–15 (per-row filter byte, same five filters as the PNG
+# scanline codec in operators/multimodal.py) and TIFF predictor 2
+# (horizontal differencing). Writers apply these before compression to
+# improve ratios; decode post-processes the inflated bytes.
+
+_DPARMS = re.compile(rb"/DecodeParms[ \t\r\n\f\x00]*<<")
+_INT_KEY = {
+    b"Predictor": re.compile(rb"/Predictor[ \t\r\n\f\x00]+(\d+)"),
+    b"Columns": re.compile(rb"/Columns[ \t\r\n\f\x00]+(\d+)"),
+    b"Colors": re.compile(rb"/Colors[ \t\r\n\f\x00]+(\d+)"),
+    b"BitsPerComponent": re.compile(rb"/BitsPerComponent[ \t\r\n\f\x00]+(\d+)"),
+}
+
+
+def _parse_decode_parms(d: bytes) -> dict[bytes, int] | None:
+    m = _DPARMS.search(d)
+    if m is None:
+        return None
+    try:
+        sub_end = _dict_extent(d, m.end() - 2)
+    except ValueError:
+        return None
+    sub = d[m.end() - 2 : sub_end]
+    out: dict[bytes, int] = {}
+    for key, rx in _INT_KEY.items():
+        km = rx.search(sub)
+        if km is not None:
+            out[key] = int(km.group(1))
+    return out or None
+
+
+def apply_predictor(data: bytes, predictor: int, columns: int = 1, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo a §7.4.4.4 predictor on decompressed bytes. Predictor 1 is
+    identity, 2 is TIFF horizontal differencing, ≥10 is PNG (the row's
+    leading filter byte selects None/Sub/Up/Average/Paeth per row —
+    the tag in the DATA wins, not the dict value, per spec)."""
+    if predictor <= 1:
+        return data
+    if bpc != 8:
+        raise ValueError(f"predictor with BitsPerComponent={bpc} not supported")
+    stride = colors  # bytes per pixel at 8 bpc
+    row_w = columns * colors
+    if row_w <= 0:
+        raise ValueError("predictor with non-positive Columns")
+    if predictor == 2:
+        out = bytearray(data)
+        n = len(out)
+        for r0 in range(0, n, row_w):
+            end = min(r0 + row_w, n)
+            for i in range(r0 + stride, end):
+                out[i] = (out[i] + out[i - stride]) & 0xFF
+        return bytes(out)
+    if predictor < 10 or predictor > 15:
+        raise ValueError(f"unknown predictor {predictor}")
+    # PNG: each stored row is 1 filter byte + row_w data bytes
+    out = bytearray()
+    prev = bytearray(row_w)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 1 + row_w > n:
+            raise ValueError("predictor: truncated row")
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_w])
+        pos += 1 + row_w
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(stride, row_w):
+                row[i] = (row[i] + row[i - stride]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_w):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_w):
+                left = row[i - stride] if i >= stride else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_w):
+                a = row[i - stride] if i >= stride else 0
+                b = prev[i]
+                c = prev[i - stride] if i >= stride else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"predictor: bad PNG filter byte {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def encode_predictor(data: bytes, predictor: int, columns: int = 1, colors: int = 1) -> bytes:
+    """Forward predictor (test/render side). PNG predictors emit the
+    single fixed filter type ``predictor-10`` per row (a legal,
+    deterministic choice; decoders must honor the per-row tag)."""
+    if predictor <= 1:
+        return data
+    stride = colors
+    row_w = columns * colors
+    if predictor == 2:
+        out = bytearray(data)
+        n = len(out)
+        for r0 in range(0, n, row_w):
+            end = min(r0 + row_w, n)
+            for i in range(end - 1, r0 + stride - 1, -1):
+                out[i] = (out[i] - out[i - stride]) & 0xFF
+        return bytes(out)
+    if predictor < 10 or predictor > 15:
+        raise ValueError(f"unsupported predictor {predictor}")
+    # 15 = "optimum" (encoder's per-row choice); any legal tag is a
+    # correct choice — use Paeth. Decode honors the per-row tag.
+    ftype = min(predictor - 10, 4)
+    if len(data) % row_w:
+        # padding would survive decode and break byte-identity; the
+        # writer (tests / render) must pick Columns that divide the
+        # payload — Columns=1 always does
+        raise ValueError("predictor encode requires row-aligned data")
+    out = bytearray()
+    prev = bytearray(row_w)
+    for r0 in range(0, len(data), row_w):
+        row = data[r0 : r0 + row_w]
+        enc = bytearray(row)
+        if ftype == 0:
+            pass
+        elif ftype == 1:
+            for i in range(row_w - 1, stride - 1, -1):
+                enc[i] = (enc[i] - row[i - stride]) & 0xFF
+        elif ftype == 2:
+            for i in range(row_w):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(row_w - 1, -1, -1):
+                left = row[i - stride] if i >= stride else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(row_w - 1, -1, -1):
+                a = row[i - stride] if i >= stride else 0
+                b = prev[i]
+                c = prev[i - stride] if i >= stride else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported predictor {predictor}")
+        out.append(ftype)
+        out += enc
+        prev = bytearray(row)
+    return bytes(out)
 
 
 def _consume_eol(buf: bytes, i: int) -> int:
@@ -528,8 +700,10 @@ def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES)
             out.append(content[pos:end])
             pos = end
             continue
+        parms = _parse_decode_parms(d)
         try:
             decoded = data
+            predictor_pending = parms is not None and parms.get(b"Predictor", 1) > 1
             for nm in filters:
                 dec = _DECODERS.get(nm)
                 if dec is None:
@@ -537,6 +711,17 @@ def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES)
                     # JBIG2, Crypt, …): this object yields no text
                     raise _Unsupported()
                 decoded = dec(decoded, budget)
+                if predictor_pending and nm in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+                    # §7.4.4.4: Predictor is a Flate/LZW parameter,
+                    # applied to the decompressed bytes
+                    decoded = apply_predictor(
+                        decoded,
+                        parms.get(b"Predictor", 1),
+                        parms.get(b"Columns", 1),
+                        parms.get(b"Colors", 1),
+                        parms.get(b"BitsPerComponent", 8),
+                    )
+                    predictor_pending = False
         except StreamBombError:
             raise
         except _Unsupported:

@@ -108,6 +108,7 @@ FILTER_MIX: tuple[tuple[str, ...] | None, ...] = (
     ("ASCIIHexDecode",),
     ("ASCII85Decode", "FlateDecode"),
     ("RunLengthDecode",),
+    ("FlateDecode/P12",),  # Flate with PNG-Up predictor (§7.4.4.4)
 )
 
 

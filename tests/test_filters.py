@@ -88,6 +88,52 @@ def test_ascii_codec_dirt():
         rle_decode(b"\x05ab")  # truncated literal
 
 
+@pytest.mark.parametrize("predictor", [2, 10, 11, 12, 13, 14, 15])
+@pytest.mark.parametrize("colors,columns", [(1, 1), (1, 16), (3, 8)])
+def test_predictor_roundtrip(predictor, colors, columns):
+    from insurance_pdf_extractor_spark.operators.filters import (
+        apply_predictor,
+        encode_predictor,
+    )
+
+    rng = random.Random((predictor, colors, columns).__repr__())
+    row_w = colors * columns
+    for rows in (0, 1, 7):
+        data = bytes(rng.randrange(256) for _ in range(row_w * rows))
+        enc = encode_predictor(data, predictor, columns=columns, colors=colors)
+        assert apply_predictor(enc, predictor, columns=columns, colors=colors) == data
+
+
+def test_predictor_hostility():
+    from insurance_pdf_extractor_spark.operators.filters import (
+        apply_predictor,
+        encode_predictor,
+    )
+
+    with pytest.raises(ValueError):
+        apply_predictor(b"\x09\x00\x00", 12, columns=2)  # bad PNG filter byte
+    with pytest.raises(ValueError):
+        apply_predictor(b"\x00\x00", 12, columns=4)  # truncated row
+    with pytest.raises(ValueError):
+        encode_predictor(b"abc", 12, columns=2)  # unaligned encode
+
+
+def test_decode_parms_predictor_through_stream_object():
+    # explicit dict form: LZW + TIFF predictor 2, exactly as a PDF
+    # writer would emit it
+    from insurance_pdf_extractor_spark.operators.filters import encode_predictor
+
+    body = b"BT\n72.0 740.0 Td\n(predicted) Tj\nET\n"
+    enc = lzw_encode(encode_predictor(body, 2, columns=len(body)))
+    obj = (
+        b"5 0 obj\n<< /Length %d /Filter /LZWDecode /DecodeParms "
+        b"<< /Predictor 2 /Columns %d >> >>\nstream\n" % (len(enc), len(body))
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    assert decode_content_filters(b"%PDF-1.4\n" + obj) == b"%PDF-1.4\n" + body
+
+
 # ---------------------------------------------------------------------------
 # splice contract: filtered render decodes to the byte-identical plain buffer
 # ---------------------------------------------------------------------------
@@ -274,6 +320,29 @@ def test_shard_path_decodes_filtered_oversized(spark):
     sharded, _ = extract_documents(raw_df(comp, n), shard_size_bytes=1, shard_pages=2, partitions=2)
     fused, _ = extract_documents(raw_df(plain, n2), shard_size_bytes=10**9, partitions=2)
     assert _span_map(sharded) == _span_map(fused)
+
+
+@pytest.mark.parametrize("mix", [m for m in FILTER_MIX if m])
+def test_corruption_sweep_never_crashes(mix):
+    """Seeded mutation sweep over filtered renders (the hostile-media
+    discipline, extended to stream filters): flips, truncations, and
+    splices must produce spans or a text-free document — never an
+    unhandled exception or a hang."""
+    comp, n = render_text("dz", TEXT[:900], filters=mix)
+    rng = random.Random(str(mix))
+    for _ in range(40):
+        b = bytearray(comp)
+        op = rng.randrange(3)
+        if op == 0:  # byte flips
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:  # truncate
+            b = b[: rng.randrange(1, len(b))]
+        else:  # splice a random window elsewhere
+            i, j = sorted(rng.randrange(len(b)) for _ in range(2))
+            b = b[:i] + b[j:] + b[i:j]
+        spans = extract_spans(bytes(b), [("m-1", 7)], n)
+        assert isinstance(spans, list)
 
 
 def test_chain_order_matches_pdf_semantics():
