@@ -296,6 +296,19 @@ def main() -> None:
     timings["extract_from_storage_presalted_32x"] = round(storage_ns_sec, 3)
     shutil.rmtree(raw_dir, ignore_errors=True)
 
+    # compressed-input production shape (round 5): the same stored
+    # corpus but with every doc's pages inside FILTERED stream objects
+    # (per-doc Flate/LZW/ASCIIHex/ASCII85+Flate/RLE/predictor mix, the
+    # real-world PDF shape). Same presalted scan→kernel→fields window,
+    # so the delta vs extract_from_storage_presalted_32x IS the
+    # stream-filter decode cost inside the Arrow kernel.
+    rawf_dir = tempfile.mkdtemp(prefix="bench_rawf_") + "/raw"
+    render_documents_raw(reps, mixed_filters=True).write.parquet(rawf_dir)
+    stored_f = spark.read.parquet(rawf_dir)
+    storage_filtered_sec = _best_of(extract_results(stored_f, presalted=True))
+    timings["extract_from_storage_filtered_32x"] = round(storage_filtered_sec, 3)
+    shutil.rmtree(rawf_dir, ignore_errors=True)
+
     # warm run (codegen compile is one-time per JVM), then best-of-2
     # timed runs: single-shot headliners showed up to 20x spikes from
     # hypervisor steal invisible to loadavg (BENCH.md variance notes)
@@ -324,6 +337,7 @@ def main() -> None:
         "docs_per_sec_sustained_shared": round(n_docs * 32 / shared_sec, 2),
         "docs_per_sec_storage": round(n_docs * 32 / storage_sec, 2),
         "docs_per_sec_storage_presalted": round(n_docs * 32 / storage_ns_sec, 2),
+        "docs_per_sec_storage_filtered": round(n_docs * 32 / storage_filtered_sec, 2),
         "settle_wait_sec": _settled,
         "loadavg_before": _load0,
         "loadavg_after": round(os.getloadavg()[0], 2),

@@ -45,6 +45,7 @@ _MASTER = re.compile(
     | %[^\r\n]*                        # comment (incl. %%PAGE markers)
     | /[^ \t\r\n\f\x00()<>\[\]{}/%]*   # name
     | [\[\]]                           # array delimiters
+    | <[^<>]*>                         # hex string (§7.3.4.3; cannot match the << dict open)
     | [<>{}]                           # other delimiters (consumed, never operands)
     | [^ \t\r\n\f\x00()<>\[\]{}/%]+    # number or operator keyword
     """,
@@ -143,6 +144,20 @@ def _unescape_str(s: str) -> str:
     if "\\" in s:
         s = _ESC.sub(_unescape, s)
     return _decode(s)
+
+
+_HEX_ONLY = re.compile(r"[0-9a-fA-F]+")
+
+
+def _decode_hex_string(body: str) -> str:
+    """§7.3.4.3 hex string body (between ``<`` and ``>``): whitespace
+    ignored, an odd trailing digit padded with 0. Non-hex garbage is
+    ignored (dirty-input tolerance) — ALL tiers must share this exact
+    rule or the differential fuzz diverges."""
+    hx = "".join(_HEX_ONLY.findall(body))
+    if len(hx) % 2:
+        hx += "0"
+    return _decode(bytes.fromhex(hx).decode("latin-1"))
 
 
 def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]:
@@ -270,7 +285,11 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
         if t0 == "/":
             stack.append(("n", m.start(), tok))
             continue
-        if t0 in "<>{}":
+        if t0 == "<":
+            if len(tok) >= 2 and tok[-1] == ">":  # hex string operand
+                stack.append(("s", m.start(), _decode_hex_string(tok[1:-1])))
+            continue  # lone '<' (dict open half / unterminated): consumed
+        if t0 in ">{}":
             continue
         if t0 in "+-.0123456789":
             # the reference scanner reads the maximal [+-.\d]+ run as a
@@ -444,6 +463,20 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
             except ValueError:
                 pass
             i = j
+            continue
+        if c == "<":
+            # hex string (§7.3.4.3) — mirror the master pattern's
+            # <[^<>]*> rule EXACTLY: scan to the first '>' stopping at
+            # any '<' (so '<<' dict opens are two lone delimiters, and
+            # an unterminated '<' is consumed alone)
+            j = i + 1
+            while j < n and text[j] not in "<>":
+                j += 1
+            if j < n and text[j] == ">":
+                stack.append(("s", i, _decode_hex_string(text[i + 1 : j])))
+                i = j + 1
+            else:
+                i += 1
             continue
         # operator keyword
         j = i

@@ -111,3 +111,46 @@ def test_extract_spans_fused():
     spans = extract_spans(content, [("img", 12)], 2)
     kinds_texts = [(s["kind"], s["text"] or s["media_ref"]) for s in spans]
     assert kinds_texts == [("media", "img"), ("text", "Quote Number: Q-1"), ("text", "tail")]
+
+
+# ---------------------------------------------------------------------------
+# hex strings (§7.3.4.3) — round-5 real-PDF parity
+# ---------------------------------------------------------------------------
+
+
+def test_hex_string_show():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    b = b"BT\n10.0 20.0 Td\n<48656C6C6F> Tj\nET\n"
+    runs = tokenize_content(b)
+    assert len(runs) == 1
+    page, x, y, off, s = runs[0]
+    assert s == "Hello"
+    assert off == b.index(b"<")
+
+
+def test_hex_string_dirt_rules():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    # whitespace ignored, odd digit padded with 0, garbage ignored
+    assert tokenize_content(b"BT 1 2 Td <48 65 6C6C 6F> Tj ET")[0][4] == "Hello"
+    assert tokenize_content(b"BT 1 2 Td <465> Tj ET")[0][4] == "FP"  # odd digit pads 0 → 46 50
+    assert tokenize_content(b"BT 1 2 Td <4z8!65> Tj ET")[0][4] == "He"
+    # utf-8 recovery matches the literal-string rule
+    b = b"BT 1 2 Td <" + "é".encode("utf-8").hex().encode("ascii") + b"> Tj ET"
+    assert tokenize_content(b)[0][4] == "é"
+
+
+def test_hex_string_in_tj_array():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    runs = tokenize_content(b"BT 1 2 Td [<4869> -120 (there)] TJ ET")
+    assert [r[4] for r in runs] == ["Hithere"]
+
+
+def test_dict_open_is_not_a_hex_string():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    # << dict >> before a show must not eat the show's operand
+    runs = tokenize_content(b"BT 1 2 Td << /X 1 >> (kept) Tj ET")
+    assert [r[4] for r in runs] == ["kept"]

@@ -45,6 +45,15 @@ def _quote_block(x, y, a):
     return f"BT\n{x:.1f} {y:.1f} Td\n12 TL\n({a}) '\nET\n"
 
 
+def _hex_block(x, y, body):
+    # hex string show (§7.3.4.3): forces the interpreter path
+    return f"BT\n{x:.1f} {y:.1f} Td\n<{body.encode('latin-1').hex()}> Tj\nET\n"
+
+
+def _hex_tJ_block(x, y, a, b):
+    return f"BT\n{x:.1f} {y:.1f} Td\n[<{a.encode('latin-1').hex()}> -120 ({b})] TJ\nET\n"
+
+
 _coord = st.integers(0, 800)
 
 _piece = st.one_of(
@@ -54,6 +63,8 @@ _piece = st.one_of(
     st.builds(_multi_block, _coord, _coord, _string_body, _string_body),
     st.builds(_quote_block, _coord, _coord, _string_body),
     st.builds(_tj_block, _coord, _coord, _escaped),
+    st.builds(_hex_block, _coord, _coord, _string_body),
+    st.builds(_hex_tJ_block, _coord, _coord, _string_body, _string_body),
     st.builds(lambda b: f"BT\n10 20 Td\n({b}) Tj\nET\n", _nested),
     st.sampled_from(
         [
@@ -92,6 +103,15 @@ _piece = st.one_of(
             "[ Tj 5 4 ]\n",
             "[ q 1 0 cm ] BT\n1 2 Td\n(x) Tj\nET\n",
             "[[ BT ]] ]\n",
+            # dirty hex strings: odd digit count (pads 0), internal
+            # whitespace (ignored), non-hex garbage (ignored), an
+            # unterminated '<', and a dict-open directly before a show
+            "BT\n1 2 Td\n<48 65 6C6C6F> Tj\nET\n",
+            "BT\n1 2 Td\n<465> Tj\nET\n",
+            "BT\n1 2 Td\n<4x8!6f> Tj\nET\n",
+            "BT\n1 2 Td\n<48656 Tj\nET\n",
+            "BT\n1 2 Td\n<< /X 1 >> <41> Tj\nET\n",
+            "<deadbeef>\n",
         ]
     ),
 )
