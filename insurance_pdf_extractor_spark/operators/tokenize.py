@@ -148,6 +148,26 @@ def _unescape_str(s: str) -> str:
 
 _HEX_ONLY = re.compile(r"[0-9a-fA-F]+")
 
+# inline images (§8.9.7): BI <params> ID <binary> EI. The binary data
+# is NOT content-stream tokens — without an explicit skip it tokenizes
+# as garbage (spurious runs, even page-state changes if the bytes
+# contain a %%PAGE-shaped comment). ID must be a real token (preceded
+# by ws/delimiter) and EI must be ws-preceded and ws/delimiter-followed
+# — the same heuristic pypdf uses when no /L length is present.
+_ID_TOKEN = re.compile(r"(?:^|[ \t\r\n\f\x00()<>\[\]{}/%])ID[ \t\r\n\f\x00]")
+_EI_END = re.compile(r"[ \t\r\n\f\x00]EI(?=[ \t\r\n\f\x00()<>\[\]{}/%]|\Z)")
+
+
+def _skip_inline_image(text: str, pos: int) -> int:
+    """Position just past the EI that terminates the inline image whose
+    BI token ended at ``pos``. Missing ID/EI (truncation dirt) consumes
+    the rest of the document — strictly better than tokenizing image
+    bytes as operators. ALL tiers share this exact rule."""
+    idm = _ID_TOKEN.search(text, pos)
+    start = idm.end() if idm is not None else pos
+    m = _EI_END.search(text, start)
+    return m.end() if m is not None else len(text)
+
 
 def _decode_hex_string(body: str) -> str:
     """§7.3.4.3 hex string body (between ``<`` and ``>``): whitespace
@@ -249,7 +269,15 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
     runs: list[tuple[int, float, float, int, str]] = []
     array_marks: list[int] = []
 
-    for m in _MASTER.finditer(text):
+    # search-based loop (not finditer): the BI inline-image skip must
+    # be able to jump the scan position past binary image data
+    pos = 0
+    search = _MASTER.search
+    while True:
+        m = search(text, pos)
+        if m is None:
+            break
+        pos = m.end()
         tok = m.group(0)
         t0 = tok[0]
         if t0 == "(":
@@ -345,6 +373,9 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
                 s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
+            stack.clear(); array_marks.clear()
+        elif op == "BI":  # inline image: skip its binary data wholesale
+            pos = _skip_inline_image(text, pos)
             stack.clear(); array_marks.clear()
         else:  # ET and every unknown operator consume their operands
             stack.clear(); array_marks.clear()
@@ -525,6 +556,9 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
                 s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
+            stack.clear(); array_marks.clear()
+        elif op == "BI":  # inline image: skip its binary data wholesale
+            i = _skip_inline_image(text, i)
             stack.clear(); array_marks.clear()
         else:
             # unknown operator (Tf, Tc, Tw, gs, ...) — consume operands

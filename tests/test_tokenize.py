@@ -154,3 +154,39 @@ def test_dict_open_is_not_a_hex_string():
     # << dict >> before a show must not eat the show's operand
     runs = tokenize_content(b"BT 1 2 Td << /X 1 >> (kept) Tj ET")
     assert [r[4] for r in runs] == ["kept"]
+
+
+def test_inline_image_data_skipped():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    # binary image data containing token-shaped garbage must produce no
+    # runs and no page-state changes; text resumes after EI
+    b = (
+        b"BT 1 2 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID \x00\x01(fake) Tj %%PAGE 9\n\xff\xfe EI\n"
+        b"BT 3 4 Td (after) Tj ET\n"
+    )
+    runs = tokenize_content(b)
+    assert [(r[0], r[4]) for r in runs] == [(0, "before"), (0, "after")]
+
+
+def test_inline_image_truncation_consumes_tail():
+    from insurance_pdf_extractor_spark.operators.tokenize import (
+        _tokenize_interpreter,
+        tokenize_content,
+        tokenize_content_reference,
+    )
+
+    # missing EI: the rest of the doc is image data (never garbage runs)
+    b = b"BT 1 2 Td (kept) Tj ET\nBI /W 4 ID \x00\x01\x02 (lost) Tj\n"
+    for fn in (tokenize_content, _tokenize_interpreter, tokenize_content_reference):
+        assert [r[4] for r in fn(b)] == ["kept"]
+
+
+def test_ei_inside_image_needs_token_boundary():
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    # 'xEI' / 'EIx' / '\xffEI' byte runs inside the data are NOT
+    # terminators — only a ws-delimited EI token ends the image
+    b = b"BI ID aEIb EIx \xffEI q EI\nBT 1 2 Td (ok) Tj ET\n"
+    assert [r[4] for r in tokenize_content(b)] == ["ok"]

@@ -112,6 +112,13 @@ _piece = st.one_of(
             "BT\n1 2 Td\n<48656 Tj\nET\n",
             "BT\n1 2 Td\n<< /X 1 >> <41> Tj\nET\n",
             "<deadbeef>\n",
+            # inline images: binary payload skipped wholesale by every
+            # tier (token-shaped garbage inside, truncated EI, EI-like
+            # byte runs that are not token-delimited)
+            "BI /W 2 /H 2 ID \x01\x02(fk) Tj EI\nBT 1 2 Td (a) Tj ET\n",
+            "BI ID xEI EIx EI BT 1 2 Td (b) Tj ET\n",
+            "BI /W 1 ID no terminator (c) Tj\n",
+            "q BI EI Q BT 1 2 Td (d) Tj ET\n",
         ]
     ),
 )
