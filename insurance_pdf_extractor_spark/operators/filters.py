@@ -59,6 +59,11 @@ _OBJ_HDR = re.compile(rb"(\d+)[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]+obj\b")
 _LENGTH_DIRECT = re.compile(
     rb"/Length[ \t\r\n\f\x00]+(\d+)(?![0-9])(?![ \t\r\n\f\x00]+\d+[ \t\r\n\f\x00]+R\b)"
 )
+# the common real-writer shape /Length 7 0 R: the length lives in its
+# own integer object (streamed out before the length is known)
+_LENGTH_INDIRECT = re.compile(
+    rb"/Length[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]+R\b"
+)
 _FILTER = re.compile(
     rb"/Filter[ \t\r\n\f\x00]*(?:\[(?P<arr>[^\]]*)\]|/(?P<one>[A-Za-z0-9]+))"
 )
@@ -663,13 +668,29 @@ def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES)
             continue
         j = _consume_eol(content, j + 6)
 
-        # locate the payload: /Length when direct and truthful, else
-        # scan for the endstream keyword (the pypdf fallback)
+        # locate the payload: /Length when direct (or resolvable as an
+        # indirect integer object) and truthful, else scan for the
+        # endstream keyword (the pypdf fallback)
         data: bytes | None = None
         end = -1
+        length_val: int | None = None
         lm = _LENGTH_DIRECT.search(d)
         if lm is not None:
-            length = int(lm.group(1))
+            length_val = int(lm.group(1))
+        else:
+            im = _LENGTH_INDIRECT.search(d)
+            if im is not None:
+                # resolve "N G obj <int> endobj" anywhere in the buffer
+                # (no xref needed — a linear scan matches the reader)
+                ref = re.search(
+                    rb"(?<![0-9])%s[ \t\r\n\f\x00]+%s[ \t\r\n\f\x00]+obj[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]*endobj"
+                    % (im.group(1), im.group(2)),
+                    content,
+                )
+                if ref is not None:
+                    length_val = int(ref.group(1))
+        if length_val is not None:
+            length = length_val
             k = j + length
             if length <= n - j:
                 k2 = _skip_ws(content, k)

@@ -353,3 +353,21 @@ def test_chain_order_matches_pdf_semantics():
     assert ascii85_decode(enc) == zlib.compress(data, 6)
     obj = stream_object_bytes(data, ("ASCII85Decode", "FlateDecode"))
     assert decode_content_filters(b"%PDF-1.4\n" + obj) == b"%PDF-1.4\n" + data
+
+
+def test_indirect_length_resolved_from_integer_object():
+    # /Length 7 0 R with the int in its own object — and the payload
+    # CONTAINS 'endstream' bytes, so the fallback scan would truncate;
+    # only real indirect resolution decodes this correctly
+    body = b"BT (resolved) Tj ET\nendstream trap\nBT (tail) Tj ET\n"
+    enc = zlib.compress(body)
+    doc = (
+        b"%PDF-1.4\n7 0 obj 9999 endobj\n"  # decoy with wrong obj match guard
+        b"2 0 obj\n<< /Length 17 0 R /Filter /FlateDecode >>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\n17 0 obj "
+        + str(len(enc)).encode()
+        + b" endobj\n"
+    )
+    out = decode_content_filters(doc)
+    assert b"(resolved) Tj" in out and b"(tail) Tj" in out
