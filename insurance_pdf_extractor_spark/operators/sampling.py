@@ -147,3 +147,149 @@ def mix_sources(
         budget = int(min(counts[s] / w for s, w in weights.items() if w > 0))
     fractions = {s: min(1.0, budget * w / counts[s]) for s, w in weights.items()}
     return stratified_sample(df, key, source, fractions, default=0.0, salt=salt)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents whose hashed-n-gram
+# bag-of-words distribution looks like a TARGET corpus: fit unigram+
+# bigram bucket models on both, score each doc by
+# log w(x) = Σ_b count_b(x)·(log p_target(b) − log p_raw(b)), then
+# resample with the Gumbel top-k trick.
+#
+# Scale shape: the bucket model is n_buckets rows (one map-side-combined
+# groupBy per corpus) and ships as a BROADCAST to the scoring join, so
+# scoring is explode → broadcast-join → one (doc) re-aggregation — the
+# only shuffle is the slim (doc_id, partial-sum) exchange. The Gumbel
+# noise reuses this module's md5 discipline (pure function of
+# doc_id+salt: reproducible at any parallelism, no RNG state).
+#
+# Feature hashing uses md5 (not xxhash64) so the whole computation is
+# expressible 1:1 in the DuckDB gate oracle: bucket =
+# ('0x' || substr(md5(feat),1,8))::bigint % n_buckets on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_words(text: Column) -> Column:
+    from ..operators.dedup import words_expr
+
+    return F.filter(words_expr(text), lambda w: w != "")
+
+
+def dsir_features_expr(text: Column) -> Column:
+    """Unigrams + adjacent bigrams ("w1 w2") as one string array — the
+    paper's hashed n-gram feature set."""
+    ws = _dsir_words(text)
+    n = F.size(ws)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    return F.concat(ws, bigrams)
+
+
+def dsir_bucket_expr(feat: Column, n_buckets: int) -> Column:
+    """Feature → bucket id via the first 32 md5 bits (md5 so DuckDB can
+    recompute it verbatim; 32 bits ≫ any practical n_buckets)."""
+    return F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _bucket_counts(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    feats = docs.select(
+        F.explode(dsir_features_expr(F.col(text_col))).alias("feat")
+    ).select(dsir_bucket_expr(F.col("feat"), n_buckets).alias("bucket"))
+    return feats.groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def dsir_bucket_table(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, logratio) for every bucket 0..n_buckets-1, Laplace-
+    smoothed: ln((n_t+α)/(T+α·m)) − ln((n_r+α)/(R+α·m)). Buckets unseen
+    in BOTH corpora still carry the (constant) smoothed ratio so the
+    scoring join never drops a feature."""
+    spark = target.sparkSession
+    t = _bucket_counts(target, text_col, n_buckets).withColumnRenamed("n", "n_t")
+    r = _bucket_counts(raw, text_col, n_buckets).withColumnRenamed("n", "n_r")
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        grid.join(t, "bucket", "left").join(r, "bucket", "left").na.fill(0, ["n_t", "n_r"])
+    )
+    # 1-row totals broadcast into every row (the corpus_profile pattern)
+    totals = joined.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    m = float(n_buckets)
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("n_t") + alpha) / (F.col("tot_t") + alpha * m))
+            - F.log((F.col("n_r") + alpha) / (F.col("tot_r") + alpha * m))
+        ).alias("logratio"),
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    bucket_table: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, logw): per-document importance log-weight.
+    explode_outer keeps feature-less docs as one null-bucket row, so
+    the ONLY shuffle is the final (id) re-aggregation — no doc-keyed
+    join-back (which would be a second full-corpus exchange at scale);
+    the bucket join is a broadcast of n_buckets rows. Empty docs score
+    logw = 0 (the paper's empty-product convention)."""
+    feats = docs.select(
+        F.col(id_col), F.explode_outer(dsir_features_expr(F.col(text_col))).alias("feat")
+    ).select(id_col, dsir_bucket_expr(F.col("feat"), n_buckets).alias("bucket"))
+    return (
+        feats.join(F.broadcast(bucket_table), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_feats"),
+            F.coalesce(F.sum("logratio"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_gumbel_key_expr(logw: Column, key: Column, salt: str = ":dsir") -> Column:
+    """Gumbel top-k resampling key: logw + Gumbel(0,1) noise derived
+    from the md5-uniform of the row key — sampling WITHOUT replacement
+    proportional to w(x) (Gumbel-max), deterministic at any
+    parallelism. u ∈ (0,1] has 48-bit granularity; u=0 cannot occur
+    (md5 of a fixed key is a constant, and the +1 shift keeps ln
+    finite)."""
+    u = (
+        (F.conv(_digest(key, salt), 16, 10).cast("double") + 1.0)
+        / float(16**_HEX_DIGITS)
+    )
+    return logw - F.log(-F.log(u))
+
+
+def dsir_select(
+    docs: DataFrame,
+    bucket_table: DataFrame,
+    k: int,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    salt: str = ":dsir",
+) -> DataFrame:
+    """Top-k Gumbel resample by importance weight — the full DSIR
+    selection. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    scored = dsir_scores(docs, bucket_table, text_col, n_buckets, id_col)
+    keyed = scored.withColumn(
+        "gumbel_key", dsir_gumbel_key_expr(F.col("logw"), F.col(id_col), salt)
+    )
+    return keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)

@@ -1345,6 +1345,13 @@ _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 _MIX_BUDGET = 50
 
 
+# DSIR gate parameters (r5): 64 buckets (small enough that hash
+# collisions actually occur in-gate), target = doc_id % 7 == 0 (a
+# deterministic pseudo-target distribution), Gumbel top-50 selection.
+_DSIR_M = 64
+_DSIR_K = 50
+
+
 def _sample_split_sql() -> str:
     from .operators.sampling import hex_threshold
 
@@ -1352,6 +1359,7 @@ def _sample_split_sql() -> str:
         f"WHEN '{lang}' THEN '{hex_threshold(frac)}'" for lang, frac in _SAMPLE_FRACS.items()
     )
     wvals = ",".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    m = _DSIR_M
     return f"""
     WITH s AS (
       SELECT doc_id, lang, source,
@@ -1370,20 +1378,90 @@ def _sample_split_sql() -> str:
       FROM s JOIN fr USING (source)
       WHERE f >= 1.0
          OR dmix < printf('%012x', CAST(floor(f * 281474976710656) AS BIGINT))
+    ),
+    dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, ws[CAST(t.i AS INT)] AS f
+      FROM dw, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+      UNION ALL
+      SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1]
+      FROM dw, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    fb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % {m} AS bucket FROM feat),
+    tc AS (SELECT bucket, count(*) AS n_t FROM fb WHERE doc_id % 7 = 0 GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS n_r FROM fb GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt,
+                   (SELECT count(*) FROM fb) AS tr),
+    lr AS (
+      SELECT g.bucket,
+             ln((coalesce(tc.n_t, 0) + 1.0) / (tot.tt + {m}))
+               - ln((coalesce(rc.n_r, 0) + 1.0) / (tot.tr + {m})) AS logratio
+      FROM (SELECT unnest(generate_series(0, {m - 1})) AS bucket) g
+      LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(count(fb.bucket) AS BIGINT) AS n_feats,
+             coalesce(sum(lr.logratio), 0.0) AS logw
+      FROM documents d
+      LEFT JOIN fb ON fb.doc_id = d.doc_id
+      LEFT JOIN lr ON lr.bucket = fb.bucket
+      GROUP BY d.doc_id
+    ),
+    gk AS (
+      SELECT doc_id, n_feats, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12))::BIGINT + 1.0)
+               / 281474976710656.0)) AS gkey
+      FROM sc
+    ),
+    sel AS (
+      SELECT doc_id, row_number() OVER (ORDER BY gkey DESC, doc_id) <= {_DSIR_K} AS flag
+      FROM gk
     )
-    SELECT doc_id, lang,
+    SELECT 'sample' AS src, doc_id, lang AS info,
            CASE WHEN dsplit < '{hex_threshold(0.8)}' THEN 'train'
                 WHEN dsplit < '{hex_threshold(0.9)}' THEN 'val'
                 ELSE 'test' END AS split,
-           coalesce(mk.mix_keep, false) AS mix_keep
+           coalesce(mk.mix_keep, false) AS flag,
+           CAST(NULL AS DOUBLE) AS score
     FROM s LEFT JOIN mk USING (doc_id)
     WHERE dsamp < CASE lang {strat} ELSE '{hex_threshold(_SAMPLE_DEFAULT)}' END
+    UNION ALL
+    SELECT 'dsir', gk.doc_id, CAST(gk.n_feats AS VARCHAR), CAST(NULL AS VARCHAR),
+           sel.flag, round(gk.logw, 6)
+    FROM gk JOIN sel USING (doc_id)
     """
 
 
 @register("hash_sample_split", _sample_split_sql())
 def q_hash_sample_split(spark, sf_dir):
-    from .operators.sampling import hash_split_expr, mix_sources, stratified_sample
+    """src='sample': deterministic stratified sample + split + source
+    mixing (unchanged r3 semantics, union-tagged r5). src='dsir': DSIR
+    importance resampling (Xie et al. 2023) — hashed unigram+bigram
+    bucket models fit on a deterministic pseudo-target (doc_id%7==0)
+    vs the whole corpus, per-doc importance log-weights, and the
+    Gumbel top-k selection flag. The gate scores EVERY doc and flags
+    membership via a window (so the oracle can value-match all rows);
+    the production path is sampling.dsir_select, whose orderBy+limit
+    compiles to TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import (
+        dsir_bucket_table,
+        dsir_gumbel_key_expr,
+        dsir_scores,
+        hash_split_expr,
+        mix_sources,
+        stratified_sample,
+    )
 
     d = _load(spark, sf_dir, "documents")
     kept = stratified_sample(
@@ -1392,12 +1470,33 @@ def q_hash_sample_split(spark, sf_dir):
     mixed = mix_sources(
         d, F.col("doc_id"), F.col("source"), _MIX_WEIGHTS, budget=_MIX_BUDGET
     ).select("doc_id", F.lit(True).alias("mix_keep"))
-    return kept.join(mixed, "doc_id", "left").select(
+    sample_rows = kept.join(mixed, "doc_id", "left").select(
+        F.lit("sample").alias("src"),
         "doc_id",
-        "lang",
+        F.col("lang").alias("info"),
         hash_split_expr(F.col("doc_id")).alias("split"),
-        F.coalesce("mix_keep", F.lit(False)).alias("mix_keep"),
+        F.coalesce("mix_keep", F.lit(False)).alias("flag"),
+        F.lit(None).cast("double").alias("score"),
     )
+
+    table = dsir_bucket_table(d.filter(F.col("doc_id") % 7 == 0), d, n_buckets=_DSIR_M)
+    scored = dsir_scores(d, table, n_buckets=_DSIR_M)
+    keyed = scored.withColumn(
+        "gkey", dsir_gumbel_key_expr(F.col("logw"), F.col("doc_id"))
+    )
+    # bounded window: one frame over the (small) scored id set — the
+    # gate needs a boolean for EVERY row; production selection is
+    # dsir_select's per-partition top-k heaps
+    flag = F.row_number().over(Window.orderBy(F.col("gkey").desc(), F.col("doc_id"))) <= _DSIR_K
+    dsir_rows = keyed.select(
+        F.lit("dsir").alias("src"),
+        "doc_id",
+        F.col("n_feats").cast("string").alias("info"),
+        F.lit(None).cast("string").alias("split"),
+        flag.alias("flag"),
+        F.round("logw", 6).alias("score"),
+    )
+    return sample_rows.unionByName(dsir_rows)
 
 
 # ---------------------------------------------------------------------------
