@@ -293,3 +293,32 @@ def dsir_select(
         "gumbel_key", dsir_gumbel_key_expr(F.col("logw"), F.col(id_col), salt)
     )
     return keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_select_fraction(
+    docs: DataFrame,
+    bucket_table: DataFrame,
+    fraction: float,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    salt: str = ":dsir",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Fraction-based DSIR selection — the corpus-scale path. Exact
+    top-k (``dsir_select``) materializes k rows on the driver via
+    TakeOrderedAndProject, which is wrong when k is millions; here the
+    Gumbel-key cutoff is estimated with approxQuantile (one pass,
+    Greenwald-Khanna) and selection becomes a pure map-side filter —
+    no global sort, no driver materialization. The kept count is
+    approximate within ``rel_err`` of the requested fraction."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    scored = dsir_scores(docs, bucket_table, text_col, n_buckets, id_col)
+    keyed = scored.withColumn(
+        "gumbel_key", dsir_gumbel_key_expr(F.col("logw"), F.col(id_col), salt)
+    )
+    if fraction >= 1.0:
+        return keyed
+    (thr,) = keyed.stat.approxQuantile("gumbel_key", [1.0 - fraction], rel_err)
+    return keyed.filter(F.col("gumbel_key") >= thr)

@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None) -> None:
         help="resumable mode: stage-granular checkpointing under --output; "
         "re-running with the same id skips completed stages (plans/curation.run_curate_job)",
     )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet of TARGET-distribution documents: before curation, keep only "
+        "the --dsir-frac of the input whose hashed-n-gram distribution scores "
+        "closest to the target (sampling.dsir_select_fraction — importance "
+        "resampling per Xie et al. 2023; map-side filter after one broadcast-join "
+        "scoring pass, no global sort)",
+    )
+    ap.add_argument("--dsir-frac", type=float, default=0.5, help="fraction kept by DSIR selection")
+    ap.add_argument("--dsir-buckets", type=int, default=4096, help="hashed-feature bucket count")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -88,6 +99,21 @@ def main(argv: list[str] | None = None) -> None:
         # better-quality duplicate would have survived).
         history = spark.read.parquet(args.history)
         docs = dedup.history_filter(docs, history)
+
+    if args.dsir_target:
+        from insurance_pdf_extractor_spark.operators.sampling import (
+            dsir_bucket_table,
+            dsir_select_fraction,
+        )
+
+        target = spark.read.parquet(args.dsir_target)
+        table = dsir_bucket_table(target, docs, n_buckets=args.dsir_buckets)
+        selected = dsir_select_fraction(
+            docs, table, args.dsir_frac, n_buckets=args.dsir_buckets
+        ).select("doc_id")
+        # semi join recovers full rows for the kept ids only; Spark/AQE
+        # broadcasts the id set when the kept fraction is small
+        docs = docs.join(selected, "doc_id", "semi")
 
     out: dict = {"output": args.output}
     if args.run_id:

@@ -124,3 +124,53 @@ def test_scoring_join_is_broadcast(spark, frames):
     plan = dsir_scores(r, dsir_bucket_table(t, r, n_buckets=M), n_buckets=M)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_select_fraction_is_map_side_and_approx(spark, frames):
+    t, r = frames
+    from insurance_pdf_extractor_spark.operators.sampling import dsir_select_fraction
+
+    table = dsir_bucket_table(t, r, n_buckets=M)
+    # tiny corpus: exact-k and fraction paths must agree on the extremes
+    all_rows = dsir_select_fraction(r, table, 1.0, n_buckets=M)
+    assert all_rows.count() == len(RAW)
+    some = dsir_select_fraction(r, table, 0.5, n_buckets=M)
+    n = some.count()
+    assert 0 < n <= len(RAW)
+    # fraction selection == top-n by gumbel key (same cutoff semantics)
+    top = {x["doc_id"] for x in dsir_select(r, table, k=n, n_buckets=M).collect()}
+    assert {x["doc_id"] for x in some.collect()} == top
+    with pytest.raises(ValueError):
+        dsir_select_fraction(r, table, 0.0, n_buckets=M)
+
+
+def test_curate_job_dsir_selection(spark, tmp_path):
+    """jobs/curate.py --dsir-target: importance selection gates which
+    raw docs enter curation; kept survivors shrink vs the plain run."""
+    import contextlib
+    import io
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs import curate
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    target_dir = str(tmp_path / "target")
+    spark.read.parquet(src).filter(F.col("doc_id") % 7 == 0).write.parquet(target_dir)
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            curate.main(args)
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    plain = run(["--input", src, "--output", str(tmp_path / "plain"), "--skip-funnel"])
+    dsir = run(
+        [
+            "--input", src, "--output", str(tmp_path / "dsir"), "--skip-funnel",
+            "--dsir-target", target_dir, "--dsir-frac", "0.4", "--dsir-buckets", "256",
+        ]
+    )
+    assert 0 < dsir["survivors"] < plain["survivors"]
