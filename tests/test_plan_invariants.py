@@ -35,6 +35,11 @@ CROSS_OK = {
     "overall_stats",        # 1-row x 1-row crossJoin (absorbed retention_cutoff count)
     "tfidf_top_terms",      # 1-row n_docs broadcast onto (doc, word) rows — constant traffic
     "bigram_logprob",       # 1-row vocabulary-size broadcast onto bigram rows
+    # r5 DSIR branch: dsir_bucket_table normalizes hashed-n-gram counts
+    # by ONE 1-row (target_total, raw_total) broadcast aggregate —
+    # constant traffic, same shape as cost_model/overall_stats (the
+    # test below pins that this is the ONLY BNLJ in the plan)
+    "hash_sample_split",
 }
 
 
@@ -65,6 +70,21 @@ def test_no_cartesian_or_rowwise_python_anywhere(spark, registry):
         if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
             offenders.append((name, "BroadcastNestedLoopJoin outside labeled baselines"))
     assert not offenders, f"plan invariant violations: {offenders}"
+
+
+def test_hash_sample_split_single_one_row_broadcast(spark, registry):
+    """The CROSS_OK exemption for hash_sample_split is exactly one
+    BroadcastNestedLoopJoin — the DSIR branch's 1-row totals
+    normalizer — never a second cross join sneaking in behind the
+    allowlist."""
+    import re
+
+    plan = _plan(spark, registry["hash_sample_split"](spark, SF_DIR))
+    # formatted explain prints each node in the tree AND a "(n) Node"
+    # details header — count the unique details headers
+    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nodes) == 1, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_search_filters_pushdown_and_pruning(spark, registry):
