@@ -120,7 +120,7 @@ def decode_filters_udf(content: pd.Series) -> pd.Series:
             out.append(None)
             continue
         b = bytes(c)
-        if b"/Filter" in b and b"stream" in b:
+        if b"stream" in b and (b"/Filter" in b or b"/ObjStm" in b):
             try:
                 b = decode_content_filters(b)
             except ValueError:

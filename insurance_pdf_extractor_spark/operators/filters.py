@@ -630,18 +630,102 @@ def _consume_eol(buf: bytes, i: int) -> int:
     return i
 
 
+def _locate_payload(content: bytes, d: bytes, j: int) -> tuple[bytes, int] | None:
+    """Payload bytes and end index (past ``endstream``/``endobj`` plus
+    one EOL) of the stream whose dict is ``d`` and whose data begins at
+    ``j``. ``/Length`` wins when direct (or resolvable as an indirect
+    integer object via a linear scan — no xref needed) and truthful;
+    otherwise scan for the ``endstream`` keyword (the pypdf fallback).
+    Returns ``None`` on hopeless truncation (no ``endstream``)."""
+    n = len(content)
+    data: bytes | None = None
+    end = -1
+    length_val: int | None = None
+    lm = _LENGTH_DIRECT.search(d)
+    if lm is not None:
+        length_val = int(lm.group(1))
+    else:
+        im = _LENGTH_INDIRECT.search(d)
+        if im is not None:
+            ref = re.search(
+                rb"(?<![0-9])%s[ \t\r\n\f\x00]+%s[ \t\r\n\f\x00]+obj[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]*endobj"
+                % (im.group(1), im.group(2)),
+                content,
+            )
+            if ref is not None:
+                length_val = int(ref.group(1))
+    if length_val is not None:
+        k = j + length_val
+        if length_val <= n - j:
+            k2 = _skip_ws(content, k)
+            if content[k2 : k2 + 9] == b"endstream":
+                data = content[j:k]
+                end = k2 + 9
+    if data is None:
+        e = content.find(b"endstream", j)
+        if e == -1:
+            return None
+        data = content[j:e]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
+        end = e + 9
+    k2 = _skip_ws(content, end)
+    if content[k2 : k2 + 6] == b"endobj":
+        end = k2 + 6
+    return data, _consume_eol(content, end)
+
+
+def _decode_stream_data(data: bytes, d: bytes, budget: int) -> bytes:
+    """Run ``data`` through the dict's ``/Filter`` chain, applying a
+    ``/DecodeParms`` predictor after the Flate/LZW stage (§7.4.4.4).
+    No ``/Filter`` returns the payload unchanged. Raises
+    ``_Unsupported`` on a legal-but-undecodable filter (DCTDecode …),
+    ``ValueError`` on corrupt payloads, ``StreamBombError`` past the
+    budget."""
+    filters = _parse_filters(d)
+    if filters is None:
+        return data
+    parms = _parse_decode_parms(d)
+    decoded = data
+    predictor_pending = parms is not None and parms.get(b"Predictor", 1) > 1
+    for nm in filters:
+        dec = _DECODERS.get(nm)
+        if dec is None:
+            raise _Unsupported()
+        decoded = dec(decoded, budget)
+        if predictor_pending and nm in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            decoded = apply_predictor(
+                decoded,
+                parms.get(b"Predictor", 1),
+                parms.get(b"Columns", 1),
+                parms.get(b"Colors", 1),
+                parms.get(b"BitsPerComponent", 8),
+            )
+            predictor_pending = False
+    return decoded
+
+
 def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES) -> bytes:
     """Rewrite ``content``, replacing every filtered stream object with
     its decoded payload (see module docstring for the splice and error
-    contracts). Buffers without ``/Filter`` return unchanged — the
-    caller's cheap substring guard keeps the plain-corpus fast path at
-    literally zero cost."""
-    if b"/Filter" not in content or b"stream" not in content:
+    contracts). PDF-1.5 compressed-object containers are normalized
+    first: ``/Type /ObjStm`` streams expand to classic ``N 0 obj …
+    endobj`` objects and ``/Type /XRef`` streams (binary cross-reference
+    rows a linear-scan reader never consults) drop whole. Buffers
+    without any of the trigger substrings return unchanged — the
+    caller's cheap guards keep the plain-corpus fast path at literally
+    zero cost."""
+    if b"stream" not in content:
+        return content
+    if b"/ObjStm" in content or b"/XRef" in content:
+        content = _expand_object_streams(content, max_decoded)
+    if b"/Filter" not in content:
         return content
     out: list[bytes] = []
     pos = 0
     budget = max_decoded
-    n = len(content)
     while True:
         m = _OBJ_HDR.search(content, pos)
         if m is None:
@@ -667,85 +751,25 @@ def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES)
             pos = dend
             continue
         j = _consume_eol(content, j + 6)
+        loc = _locate_payload(content, d, j)
+        if loc is None:
+            # hopeless truncation: emit the rest untouched
+            out.append(content[pos:])
+            break
+        data, end = loc
 
-        # locate the payload: /Length when direct (or resolvable as an
-        # indirect integer object) and truthful, else scan for the
-        # endstream keyword (the pypdf fallback)
-        data: bytes | None = None
-        end = -1
-        length_val: int | None = None
-        lm = _LENGTH_DIRECT.search(d)
-        if lm is not None:
-            length_val = int(lm.group(1))
-        else:
-            im = _LENGTH_INDIRECT.search(d)
-            if im is not None:
-                # resolve "N G obj <int> endobj" anywhere in the buffer
-                # (no xref needed — a linear scan matches the reader)
-                ref = re.search(
-                    rb"(?<![0-9])%s[ \t\r\n\f\x00]+%s[ \t\r\n\f\x00]+obj[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]*endobj"
-                    % (im.group(1), im.group(2)),
-                    content,
-                )
-                if ref is not None:
-                    length_val = int(ref.group(1))
-        if length_val is not None:
-            length = length_val
-            k = j + length
-            if length <= n - j:
-                k2 = _skip_ws(content, k)
-                if content[k2 : k2 + 9] == b"endstream":
-                    data = content[j:k]
-                    end = k2 + 9
-        if data is None:
-            e = content.find(b"endstream", j)
-            if e == -1:
-                # hopeless truncation: emit the rest untouched
-                out.append(content[pos:])
-                break
-            data = content[j:e]
-            if data.endswith(b"\r\n"):
-                data = data[:-2]
-            elif data.endswith((b"\n", b"\r")):
-                data = data[:-1]
-            end = e + 9
-        # optional endobj
-        k2 = _skip_ws(content, end)
-        if content[k2 : k2 + 6] == b"endobj":
-            end = k2 + 6
-        end = _consume_eol(content, end)
-
-        filters = _parse_filters(d)
-        if filters is None:
+        if _parse_filters(d) is None:
             # unfiltered stream object: pass through untouched
             out.append(content[pos:end])
             pos = end
             continue
-        parms = _parse_decode_parms(d)
         try:
-            decoded = data
-            predictor_pending = parms is not None and parms.get(b"Predictor", 1) > 1
-            for nm in filters:
-                dec = _DECODERS.get(nm)
-                if dec is None:
-                    # legal-but-unsupported (DCTDecode image XObjects,
-                    # JBIG2, Crypt, …): this object yields no text
-                    raise _Unsupported()
-                decoded = dec(decoded, budget)
-                if predictor_pending and nm in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
-                    # §7.4.4.4: Predictor is a Flate/LZW parameter,
-                    # applied to the decompressed bytes
-                    decoded = apply_predictor(
-                        decoded,
-                        parms.get(b"Predictor", 1),
-                        parms.get(b"Columns", 1),
-                        parms.get(b"Colors", 1),
-                        parms.get(b"BitsPerComponent", 8),
-                    )
-                    predictor_pending = False
+            decoded = _decode_stream_data(data, d, budget)
         except StreamBombError:
             raise
         except _Unsupported:
+            # legal-but-unsupported (DCTDecode image XObjects, JBIG2,
+            # Crypt, …): this object yields no text
             decoded = b""
         except ValueError:
             # corrupt payload under a supported filter: per-stream skip
@@ -759,3 +783,180 @@ def decode_content_filters(content: bytes, max_decoded: int = MAX_DECODED_BYTES)
 
 class _Unsupported(Exception):
     pass
+
+
+# ---------------------------------------------------------------------------
+# PDF-1.5 compressed objects (§7.5.7 object streams, §7.5.8 xref streams)
+# ---------------------------------------------------------------------------
+# Real-world writers since PDF 1.5 pack most non-stream objects —
+# the /Info dict, page dicts, the indirect /Length integers — inside
+# /Type /ObjStm streams, and replace the classic xref table with a
+# binary /Type /XRef stream (pypdf reads both transparently; ref
+# app/services/pdf_processor.py:364 extract via pypdf). For the
+# linear-scan reader the normalization is a pre-pass over the buffer:
+# each ObjStm expands to canonical ``N 0 obj\n<body>\nendobj\n``
+# objects (exactly the shape the plain renderer writes, so an ObjStm
+# render decodes to the byte-identical classic buffer and the flagship
+# span fixture pins this path with no regeneration), and each XRef
+# stream — pure file-offset bookkeeping a sequential scan never needs —
+# drops whole. Corrupt containers follow the per-stream dirt rule:
+# that object contributes nothing, the rest of the document extracts.
+
+_TYPE_OBJSTM = re.compile(rb"/Type[ \t\r\n\f\x00]*/ObjStm(?![A-Za-z0-9])")
+_TYPE_XREF = re.compile(rb"/Type[ \t\r\n\f\x00]*/XRef(?![A-Za-z0-9])")
+_OBJSTM_N = re.compile(rb"/N[ \t\r\n\f\x00]+(\d+)(?![0-9])")
+_OBJSTM_FIRST = re.compile(rb"/First[ \t\r\n\f\x00]+(\d+)(?![0-9])")
+
+
+def _emit_objstm_objects(payload: bytes, d: bytes) -> bytes:
+    """Re-serialize an ObjStm's contained objects in canonical classic
+    form. §7.5.7: the first ``/First`` bytes are ``/N`` whitespace-
+    separated (objnum, offset) integer pairs, offsets relative to
+    ``/First`` and strictly increasing; each object's extent runs to
+    the next offset (last → end of payload)."""
+    nm = _OBJSTM_N.search(d)
+    fm = _OBJSTM_FIRST.search(d)
+    if nm is None or fm is None:
+        raise ValueError("ObjStm: missing /N or /First")
+    n_objs = int(nm.group(1))
+    first = int(fm.group(1))
+    if n_objs <= 0 or first > len(payload):
+        raise ValueError("ObjStm: /N or /First out of range")
+    header = payload[:first].split()
+    if len(header) < 2 * n_objs:
+        raise ValueError("ObjStm: short pair table")
+    try:
+        pairs = [(int(header[2 * k]), int(header[2 * k + 1])) for k in range(n_objs)]
+    except ValueError:
+        raise ValueError("ObjStm: non-integer pair table") from None
+    prev = -1
+    for _num, off in pairs:
+        if off <= prev:
+            raise ValueError("ObjStm: offsets not strictly increasing")
+        prev = off
+    if first + pairs[-1][1] > len(payload):
+        raise ValueError("ObjStm: offset beyond payload")
+    out: list[bytes] = []
+    for k, (num, off) in enumerate(pairs):
+        stop = first + pairs[k + 1][1] if k + 1 < n_objs else len(payload)
+        body = payload[first + off : stop].strip(_WS)
+        out.append(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    return b"".join(out)
+
+
+def _expand_object_streams(content: bytes, max_decoded: int = MAX_DECODED_BYTES) -> bytes:
+    """Pre-pass: expand ``/Type /ObjStm`` streams in place, drop
+    ``/Type /XRef`` streams, pass everything else through untouched
+    (ordinary filtered streams are the second pass's job). Runs BEFORE
+    the filter pass so indirect ``/Length`` integers stored inside an
+    ObjStm resolve against the expanded buffer."""
+    out: list[bytes] = []
+    pos = 0
+    budget = max_decoded
+    while True:
+        m = _OBJ_HDR.search(content, pos)
+        if m is None:
+            out.append(content[pos:])
+            break
+        i = _skip_ws(content, m.end())
+        if content[i : i + 2] != b"<<":
+            out.append(content[pos : m.end()])
+            pos = m.end()
+            continue
+        try:
+            dend = _dict_extent(content, i)
+        except ValueError:
+            out.append(content[pos : m.end()])
+            pos = m.end()
+            continue
+        d = content[i:dend]
+        j = _skip_ws(content, dend)
+        if content[j : j + 6] != b"stream":
+            out.append(content[pos:dend])
+            pos = dend
+            continue
+        j = _consume_eol(content, j + 6)
+        loc = _locate_payload(content, d, j)
+        if loc is None:
+            out.append(content[pos:])
+            break
+        data, end = loc
+        if _TYPE_XREF.search(d) is not None:
+            # xref stream: no content for a sequential reader
+            out.append(content[pos : m.start()])
+            pos = end
+            continue
+        if _TYPE_OBJSTM.search(d) is None:
+            # ordinary stream object: pass through, payload and all
+            # (skipping past the payload keeps binary bytes from
+            # aliasing an object header)
+            out.append(content[pos:end])
+            pos = end
+            continue
+        try:
+            expanded = _emit_objstm_objects(_decode_stream_data(data, d, budget), d)
+        except StreamBombError:
+            raise
+        except (ValueError, _Unsupported):
+            expanded = b""
+        budget -= len(expanded)
+        out.append(content[pos : m.start()])
+        out.append(expanded)
+        pos = end
+    return b"".join(out)
+
+
+def objstm_object_bytes(
+    objects: list[tuple[int, bytes]],
+    names: tuple[str, ...] = ("FlateDecode",),
+    obj_num: int = 90,
+) -> bytes:
+    """Pack ``(objnum, serialized body)`` pairs into a ``/Type /ObjStm``
+    stream object (render/test side). The expansion contract:
+    ``_emit_objstm_objects`` re-serializes each as canonical
+    ``N 0 obj\\n<body>\\nendobj\\n`` — so a document that stores, say,
+    its Info dict in an ObjStm decodes to the byte-identical classic
+    buffer (bodies must carry no leading/trailing whitespace).
+    ``names=()`` writes the stream uncompressed (legal per §7.5.7)."""
+    bodies = [body for _n, body in objects]
+    offs: list[int] = []
+    acc = 0
+    for b in bodies:
+        offs.append(acc)
+        acc += len(b) + 1  # one separator newline per body
+    header = (" ".join(f"{n} {o}" for (n, _b), o in zip(objects, offs)) + "\n").encode()
+    payload = header + b"\n".join(bodies) + b"\n"
+    first = len(header)
+    enc = encode_chain(payload, names) if names else payload
+    fpart = ""
+    if names:
+        bases = [_split_predictor(n)[0] for n in names]
+        preds = [p for n in names if (p := _split_predictor(n)[1]) is not None]
+        f = f"/{bases[0]}" if len(bases) == 1 else "[ " + " ".join("/" + n for n in bases) + " ]"
+        fpart = f" /Filter {f}"
+        if preds:
+            fpart += f" /DecodeParms << /Predictor {preds[0]} /Columns 1 >>"
+    head = (
+        f"{obj_num} 0 obj\n<< /Type /ObjStm /N {len(objects)} /First {first} "
+        f"/Length {len(enc)}{fpart} >>\nstream\n"
+    ).encode()
+    return head + enc + b"\nendstream\nendobj\n"
+
+
+def xref_stream_bytes(n_entries: int = 4, obj_num: int = 200) -> bytes:
+    """A minimal §7.5.8 cross-reference stream: ``W [1 2 1]`` rows,
+    FlateDecode with the PNG-Up predictor over ``Columns 4`` — the
+    shape every PDF-1.5 writer emits. A linear-scan reader takes no
+    content from it; ``decode_content_filters`` drops the whole object
+    (so appending one to a render leaves the decoded buffer
+    byte-identical)."""
+    rows = b"".join(
+        b"\x01" + (10 + 50 * k).to_bytes(2, "big") + b"\x00" for k in range(n_entries)
+    )
+    enc = flate_encode(encode_predictor(rows, 12, columns=4))
+    head = (
+        f"{obj_num} 0 obj\n<< /Type /XRef /Size {n_entries} /W [ 1 2 1 ] /Root 1 0 R "
+        f"/Length {len(enc)} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n"
+    ).encode()
+    return head + enc + b"\nendstream\nendobj\n"

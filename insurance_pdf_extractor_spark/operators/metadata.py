@@ -105,8 +105,26 @@ def pdf_info(content: bytes | None) -> dict:
     doc whose TEXT contains '%%PAGE' neither mis-truncates the preview
     nor inflates num_pages (r2 advice). (A hostile stream that
     re-declares ``%%PAGE 0`` later is out of scope for this info
-    endpoint.)"""
-    b = content or b""
+    endpoint.)
+
+    Filtered / PDF-1.5 documents (compressed content streams, the Info
+    dict packed in a ``/Type /ObjStm``) normalize through
+    ``decode_content_filters`` first — like pypdf's ``reader.metadata``
+    resolving compressed objects transparently — so page markers, the
+    preview, and the /Info keys all read from the plain buffer. The
+    substring guards keep the plain corpus at zero added cost;
+    ``size_bytes``/``size_mb`` always report the RAW file size. A
+    budget-cap bomb (ValueError) poisons the document text-free,
+    mirroring the tokenizer's rule."""
+    raw = content or b""
+    b = raw
+    if b"stream" in b and (b"/Filter" in b or b"/ObjStm" in b):
+        from .filters import decode_content_filters
+
+        try:
+            b = decode_content_filters(b)
+        except ValueError:
+            b = b""
     text = b.decode("latin-1")  # one decode feeds both full-doc scans
     info = parse_info_dict(b, text=text)
     marks = page_marker_offsets_text(text)
@@ -116,8 +134,8 @@ def pdf_info(content: bytes | None) -> dict:
     preview_src = "\n".join(first_page)
     return {
         "num_pages": len(marks),
-        "size_bytes": len(b),
-        "size_mb": round(len(b) / (1024 * 1024), 2),
+        "size_bytes": len(raw),
+        "size_mb": round(len(raw) / (1024 * 1024), 2),
         **info,
         "first_page_preview": preview_src[:500] if preview_src else "No text extracted",
         "estimated_text_length": len(preview_src),

@@ -68,8 +68,25 @@ def _unescape(m: re.Match) -> str:
 
 
 def _decode(s: str) -> str:
+    """Charset interpretation of a PDF string's BYTES (``s`` is their
+    latin-1 image, escapes already applied): §7.9.2.2 text strings —
+    UTF-16BE with the FE FF BOM (how real writers store non-ASCII
+    /Info values and ToUnicode output; pypdf decodes these
+    transparently), PDF 2.0's UTF-8 with the EF BB BF BOM — then the
+    bare-UTF-8 heuristic, else the bytes stand as latin-1. Shared by
+    ALL tokenizer tiers and the metadata scan (tier equivalence)."""
     if s.isascii():  # ASCII == UTF-8 == latin-1; skip the round trip
         return s
+    if s.startswith("\xfe\xff"):
+        try:
+            return s.encode("latin-1")[2:].decode("utf-16-be")
+        except (UnicodeDecodeError, UnicodeEncodeError):
+            return s
+    if s.startswith("\xef\xbb\xbf"):
+        try:
+            return s.encode("latin-1")[3:].decode("utf-8")
+        except (UnicodeDecodeError, UnicodeEncodeError):
+            return s
     try:
         return s.encode("latin-1").decode("utf-8")
     except (UnicodeDecodeError, UnicodeEncodeError):
@@ -195,13 +212,15 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
     """
     if not content:
         return []
-    if b"/Filter" in content and b"stream" in content:
+    if b"stream" in content and (b"/Filter" in content or b"/ObjStm" in content):
         # real-world PDFs ship content streams filtered (FlateDecode
-        # et al.); rewrite them to the plain buffer first. The two
-        # substring guards are C-level and keep the uncompressed
-        # corpus fast path at zero added cost. A decompression bomb
-        # (ValueError from the budget cap) poisons the document
-        # text-free, mirroring the hostile-media poison-row rule.
+        # et al.) and, since PDF 1.5, non-stream objects packed in
+        # /Type /ObjStm containers; rewrite both to the plain buffer
+        # first. The substring guards are C-level and keep the
+        # uncompressed corpus fast path at zero added cost. A
+        # decompression bomb (ValueError from the budget cap) poisons
+        # the document text-free, mirroring the hostile-media
+        # poison-row rule.
         from .filters import decode_content_filters
 
         try:
@@ -435,12 +454,9 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
                 j += 1
         s = "".join(out)
         # the scan is byte-transparent (latin-1) so offsets stay exact;
-        # recover multi-byte UTF-8 text here
-        try:
-            s = s.encode("latin-1").decode("utf-8")
-        except (UnicodeDecodeError, UnicodeEncodeError):
-            pass
-        return j, s
+        # charset interpretation (BOM'd UTF-16BE/UTF-8, bare UTF-8) is
+        # the SHARED _decode — all tiers must agree byte-for-byte
+        return j, _decode(s)
 
     while i < n:
         c = text[i]

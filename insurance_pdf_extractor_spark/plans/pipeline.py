@@ -155,7 +155,8 @@ def _extract_spans_sized(
     big = big.withColumn(
         "content",
         F.when(
-            F.contains(F.col("content"), F.lit(b"/Filter")),
+            F.contains(F.col("content"), F.lit(b"/Filter"))
+            | F.contains(F.col("content"), F.lit(b"/ObjStm")),
             decode_filters_udf("content"),
         ).otherwise(F.col("content")),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.filters import stream_object_bytes
+from ..operators.filters import objstm_object_bytes, stream_object_bytes, xref_stream_bytes
 
 WORDS_PER_LINE = 10
 LINES_PER_PAGE = 18
@@ -45,12 +45,19 @@ def default_metadata(doc_id: str) -> dict[str, str]:
     }
 
 
+def info_dict_body(meta: dict[str, str]) -> bytes:
+    """The ``<< … >>`` serialization of an info dict — the canonical
+    body shared by the classic indirect object and the ObjStm-packed
+    variant (the ObjStm expansion contract re-emits exactly this)."""
+    body = " ".join(f"/{k} ({_esc(v)})" for k, v in meta.items())
+    return f"<< {body} >>".encode()
+
+
 def info_obj_bytes(meta: dict[str, str]) -> bytes:
     """PDF-style document information dictionary as an indirect object
     (the shape pypdf's reader.metadata reads; ref
     app/services/pdf_processor.py:466-477)."""
-    body = " ".join(f"/{k} ({_esc(v)})" for k, v in meta.items())
-    return f"1 0 obj\n<< {body} >>\nendobj\n".encode()
+    return b"1 0 obj\n" + info_dict_body(meta) + b"\nendobj\n"
 
 
 def render_text(
@@ -58,6 +65,7 @@ def render_text(
     text: str,
     meta: dict[str, str] | None = None,
     filters: tuple[str, ...] | None = None,
+    structure: str = "classic",
 ) -> tuple[bytes, int]:
     """``filters`` (e.g. ``("FlateDecode",)`` or the chain
     ``("ASCII85Decode", "FlateDecode")``) wraps each page's content in
@@ -65,13 +73,30 @@ def render_text(
     shape real-world PDFs ship. The decode splice contract
     (operators/filters.py) guarantees the filtered render decodes back
     to the byte-identical plain render, so span offsets (and therefore
-    the flagship fixture) are filter-invariant."""
+    the flagship fixture) are filter-invariant.
+
+    ``structure`` exercises the PDF-1.5 compressed-object layouts the
+    same way: ``"objstm"`` packs the info dict inside a FlateDecode
+    ``/Type /ObjStm`` container, ``"objstm_xref"`` additionally appends
+    a ``/Type /XRef`` cross-reference stream — both normalize back to
+    the byte-identical classic buffer (the ObjStm expands to the exact
+    ``info_obj_bytes`` form; the xref stream drops whole). The header
+    stays ``%PDF-1.4`` so byte-identity covers the whole buffer — the
+    version comment is advisory to a sequential scanner, and writers
+    lying about it is ordinary real-world dirt."""
     words = (text or "").split()
     lines = [
         " ".join(words[i : i + WORDS_PER_LINE]) for i in range(0, len(words), WORDS_PER_LINE)
     ] or [""]
     pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
-    out = [b"%PDF-1.4\n", info_obj_bytes(meta if meta is not None else default_metadata(doc_id))]
+    m = meta if meta is not None else default_metadata(doc_id)
+    if structure == "classic":
+        info = info_obj_bytes(m)
+    elif structure in ("objstm", "objstm_xref"):
+        info = objstm_object_bytes([(1, info_dict_body(m))], ("FlateDecode",))
+    else:
+        raise ValueError(f"unknown structure {structure!r}")
+    out = [b"%PDF-1.4\n", info]
     for pg, pg_lines in enumerate(pages):
         out.append(f"%%PAGE {pg}\n".encode())
         body = [f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode()]
@@ -85,6 +110,8 @@ def render_text(
             out.append(stream_object_bytes(page_body, filters, obj_num=pg + 2))
         else:
             out.append(page_body)
+    if structure == "objstm_xref":
+        out.append(xref_stream_bytes())
     return b"".join(out), len(pages)
 
 
@@ -119,11 +146,27 @@ def filters_for_doc(doc_id: str) -> tuple[str, ...] | None:
     return FILTER_MIX[h % len(FILTER_MIX)]
 
 
+# Deterministic per-doc PDF-1.5 structure assignment (independent md5
+# bits from the filter pick, so every (filter, structure) combination
+# appears): classic layout, info dict packed in a /Type /ObjStm, and
+# ObjStm plus a trailing /Type /XRef cross-reference stream.
+STRUCTURE_MIX = ("classic", "objstm", "objstm_xref")
+
+
+def structure_for_doc(doc_id: str) -> str:
+    import hashlib
+
+    h = int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[8:12], 16)
+    return STRUCTURE_MIX[h % len(STRUCTURE_MIX)]
+
+
 @F.pandas_udf(RENDERED)
 def _render_mixed_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     contents, n_pages = [], []
     for d, t in zip(doc_id, text):
-        c, n = render_text(str(d), t, filters=filters_for_doc(str(d)))
+        c, n = render_text(
+            str(d), t, filters=filters_for_doc(str(d)), structure=structure_for_doc(str(d))
+        )
         contents.append(c)
         n_pages.append(n)
     return pd.DataFrame({"content": contents, "n_pages": n_pages})

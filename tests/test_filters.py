@@ -371,3 +371,169 @@ def test_indirect_length_resolved_from_integer_object():
     )
     out = decode_content_filters(doc)
     assert b"(resolved) Tj" in out and b"(tail) Tj" in out
+
+
+# ---------------------------------------------------------------------------
+# PDF-1.5 compressed objects: /Type /ObjStm expansion, /Type /XRef drop
+# ---------------------------------------------------------------------------
+
+from insurance_pdf_extractor_spark.operators.filters import (  # noqa: E402
+    objstm_object_bytes,
+    xref_stream_bytes,
+)
+from insurance_pdf_extractor_spark.sources.render import (  # noqa: E402
+    STRUCTURE_MIX,
+    structure_for_doc,
+)
+
+
+def test_objstm_expands_to_canonical_objects():
+    info = b"<< /Title (Doc A) /Author (Me) >>"
+    doc = b"%PDF-1.4\n" + objstm_object_bytes([(1, info), (7, b"42")]) + b"BT (x) Tj ET\n"
+    assert decode_content_filters(doc) == (
+        b"%PDF-1.4\n1 0 obj\n" + info + b"\nendobj\n7 0 obj\n42\nendobj\nBT (x) Tj ET\n"
+    )
+
+
+def test_objstm_unfiltered_is_legal():
+    info = b"<< /Title (U) >>"
+    doc = b"%PDF-1.4\n" + objstm_object_bytes([(1, info)], names=()) + b"BT (y) Tj ET\n"
+    assert decode_content_filters(doc) == b"%PDF-1.4\n1 0 obj\n" + info + b"\nendobj\nBT (y) Tj ET\n"
+
+
+def test_indirect_length_integer_inside_objstm():
+    # the real PDF-1.5 shape: the content stream's /Length integer is
+    # itself a compressed object — resolution must see the EXPANDED
+    # buffer (payload contains an 'endstream' trap so the fallback
+    # scan would truncate)
+    body = b"BT (resolved) Tj ET\nendstream trap\nBT (tail) Tj ET\n"
+    enc = zlib.compress(body)
+    doc = (
+        b"%PDF-1.4\n"
+        + objstm_object_bytes([(17, str(len(enc)).encode())])
+        + b"2 0 obj\n<< /Length 17 0 R /Filter /FlateDecode >>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    out = decode_content_filters(doc)
+    assert b"(resolved) Tj" in out and b"(tail) Tj" in out
+
+
+def test_xref_stream_drops_whole():
+    doc = b"%PDF-1.4\nBT (x) Tj ET\n" + xref_stream_bytes()
+    assert decode_content_filters(doc) == b"%PDF-1.4\nBT (x) Tj ET\n"
+
+
+def test_xref_with_classic_trailer_tail_is_inert():
+    # a full real-world tail (startxref + %%EOF) after the xref stream:
+    # the keywords survive as non-object bytes and the interpreter
+    # ignores them — spans unchanged
+    plain, n = render_text("dtail", TEXT)
+    doc = plain + xref_stream_bytes() + b"startxref\n116\n%%EOF\n"
+    assert extract_spans(doc, [], n) == extract_spans(plain, [], n)
+
+
+@pytest.mark.parametrize("structure", [s for s in STRUCTURE_MIX if s != "classic"])
+@pytest.mark.parametrize("mix", list(FILTER_MIX))
+def test_structure_byte_identity_full_matrix(structure, mix):
+    plain, n_plain = render_text("d9", TEXT)
+    v, n_v = render_text("d9", TEXT, filters=mix, structure=structure)
+    assert n_v == n_plain and v != plain
+    assert decode_content_filters(v) == plain
+
+
+@pytest.mark.parametrize("structure", STRUCTURE_MIX)
+def test_structure_span_equality_through_kernel(structure):
+    plain, n = render_text("d9", TEXT)
+    base = extract_spans(plain, [("m-1", 7)], n)
+    v, nv = render_text("d9", TEXT, filters=("FlateDecode",), structure=structure)
+    assert extract_spans(v, [("m-1", 7)], nv) == base
+
+
+def test_structure_for_doc_covers_every_layout():
+    assert {structure_for_doc(str(i)) for i in range(200)} == set(STRUCTURE_MIX)
+
+
+def test_pdf_info_reads_info_dict_from_objstm():
+    from insurance_pdf_extractor_spark.operators.metadata import pdf_info
+
+    v, n = render_text("dI", TEXT, filters=("FlateDecode",), structure="objstm_xref")
+    info = pdf_info(v)
+    assert info["title"] == "Document dI"
+    assert info["producer"] == "content-stream-writer 0.1.0"
+    assert info["num_pages"] == n
+    assert info["size_bytes"] == len(v)  # raw file size, not decoded
+    assert "Document dI" in info["first_page_preview"]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b.replace(b"/First", b"/Firzt"),  # missing /First
+        lambda b: b.replace(b"/N 2", b"/N 9"),  # pair table short
+        lambda b: b.replace(b"/N 2", b"/N 0"),  # /N out of range
+    ],
+)
+def test_corrupt_objstm_skipped_rest_extracts(mutate):
+    info = b"<< /Title (gone) >>"
+    objstm = objstm_object_bytes([(1, info), (7, b"42")])
+    doc = b"%PDF-1.4\n" + mutate(objstm) + b"BT\n72.0 740.0 Td\n(kept) Tj\nET\n"
+    out = decode_content_filters(doc)
+    assert b"(kept) Tj" in out and b"(gone)" not in out
+
+
+def test_objstm_nonmonotonic_offsets_rejected():
+    # hand-build a payload whose offsets go backwards
+    payload = b"1 5 7 0\n<< /A 1 >>\n42\n"
+    enc = zlib.compress(payload)
+    doc = (
+        b"%PDF-1.4\n90 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Length "
+        + str(len(enc)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\nBT (kept2) Tj ET\n"
+    )
+    out = decode_content_filters(doc)
+    assert b"(kept2) Tj" in out and b"/A 1" not in out
+
+
+def test_objstm_bomb_poisons_text_free():
+    # a zlib bomb wearing an ObjStm dict still trips the budget cap
+    bomb = zlib.compress(b"0 0\n" + b"\x00" * (flt.MAX_DECODED_BYTES + 2))
+    doc = (
+        b"%PDF-1.4\n90 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length "
+        + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + bomb
+        + b"\nendstream\nendobj\nBT (never) Tj ET\n"
+    )
+    with pytest.raises(StreamBombError):
+        decode_content_filters(doc)
+    from insurance_pdf_extractor_spark.operators.tokenize import tokenize_content
+
+    assert tokenize_content(doc) == []  # poison: text-free document
+
+
+@pytest.mark.parametrize("structure", [s for s in STRUCTURE_MIX if s != "classic"])
+def test_objstm_corruption_sweep_never_crashes(structure):
+    """The hostile-input discipline extended to compressed-object
+    containers: flips/truncations/splices over ObjStm renders must
+    yield spans or a text-free doc — never an unhandled exception."""
+    rng = random.Random(f"objstm-{structure}")
+    base, n = render_text("dz", TEXT, filters=("FlateDecode",), structure=structure)
+    for _ in range(40):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            cut = rng.randrange(1, len(b) - 1)
+            b = b[cut:] + b[:cut]
+        try:
+            spans = extract_spans(bytes(b), [], n)
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"unhandled {type(e).__name__} on mutated objstm doc") from e
+        assert isinstance(spans, list)

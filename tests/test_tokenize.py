@@ -190,3 +190,63 @@ def test_ei_inside_image_needs_token_boundary():
     # terminators — only a ws-delimited EI token ends the image
     b = b"BI ID aEIb EIx \xffEI q EI\nBT 1 2 Td (ok) Tj ET\n"
     assert [r[4] for r in tokenize_content(b)] == ["ok"]
+
+
+# ---------------------------------------------------------------------------
+# §7.9.2.2 text-string charsets: BOM'd UTF-16BE / UTF-8 (pypdf parity)
+# ---------------------------------------------------------------------------
+
+
+def test_bom_utf16be_string_decodes_across_tiers():
+    from insurance_pdf_extractor_spark.operators.tokenize import (
+        _tokenize_interpreter,
+        tokenize_content,
+        tokenize_content_reference,
+    )
+
+    val = "Ünïcø∂é titlé"
+    u16 = "\xfe\xff" + val.encode("utf-16-be").decode("latin-1")
+    esc = u16.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    doc = ("BT\n72.0 740.0 Td\n(" + esc + ") Tj\nET\n").encode("latin-1")
+    a = tokenize_content(doc)
+    assert a == tokenize_content_reference(doc) == _tokenize_interpreter(doc)
+    assert a[0][4] == val
+
+
+def test_bom_utf16be_hex_string_operand():
+    # the real-world shape: writers emit UTF-16BE text strings as hex
+    from insurance_pdf_extractor_spark.operators.tokenize import (
+        _tokenize_interpreter,
+        tokenize_content,
+        tokenize_content_reference,
+    )
+
+    val = "Ünïcø∂é"
+    doc = ("BT\n72.0 740.0 Td\n<FEFF" + val.encode("utf-16-be").hex() + "> Tj\nET\n").encode(
+        "latin-1"
+    )
+    a = tokenize_content(doc)
+    assert a == tokenize_content_reference(doc) == _tokenize_interpreter(doc)
+    assert a[0][4] == val
+
+
+def test_bom_utf8_and_dirt_fallbacks():
+    from insurance_pdf_extractor_spark.operators.tokenize import _decode
+
+    val = "Ünïcø∂é"
+    assert _decode("\xef\xbb\xbf" + val.encode("utf-8").decode("latin-1")) == val
+    # odd-length UTF-16 payload: bytes stand as latin-1 (dirt rule)
+    assert _decode("\xfe\xff\x00") == "\xfe\xff\x00"
+    # bare UTF-8 heuristic unchanged
+    assert _decode(val.encode("utf-8").decode("latin-1")) == val
+
+
+def test_bom_utf16be_info_dict_value():
+    from insurance_pdf_extractor_spark.operators.metadata import parse_info_dict
+
+    val = "Pôlïcy Ünicode"
+    u16 = "\xfe\xff" + val.encode("utf-16-be").decode("latin-1")
+    esc = u16.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    info = ("1 0 obj\n<< /Title (" + esc + ") /Author (plain) >>\nendobj\n").encode("latin-1")
+    got = parse_info_dict(info)
+    assert got["title"] == val and got["author"] == "plain"
