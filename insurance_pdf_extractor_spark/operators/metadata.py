@@ -25,7 +25,8 @@ from .tokenize import (
     _FLAT,
     _INFO_OBJ,
     _SP,
-    _unescape_str,
+    _decode,
+    _unescape_raw,
     page_marker_offsets_text,
     tokenize_content,
 )
@@ -51,6 +52,47 @@ INFO_KEYS = [
 _META_RE = re.compile(
     rf"/(Title|Author|Subject|Creator|Producer|CreationDate|ModDate){_SP}*({_FLAT})"
 )
+
+# PDFDocEncoding (PDF 32000-1:2008 Annex D.2), as pypdf applies to
+# reader.metadata values: identical to latin-1 outside three ranges —
+# 0x18–0x1F are accent marks, 0x80–0x9E typography/ligatures (0x7F,
+# 0x9F undefined → byte stands), 0xA0 is EURO (not NBSP). Text strings
+# WITHOUT a BOM are PDFDocEncoded per §7.9.2.2; show-string operands in
+# content streams are font-encoded and never take this mapping.
+_PDFDOC_DIFF = {
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",  # ˘ ˇ ˆ ˙
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",  # ˝ ˛ ˚ ˜
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",  # • † ‡ …
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",  # — – ƒ ⁄
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",  # ‹ › − ‰
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",  # „ “ ” ‘
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",  # ’ ‚ ™ ﬁ
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",  # ﬂ Ł Œ Š
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",  # Ÿ Ž ı ł
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž",                  # œ š ž
+    0xA0: "€",                                                  # €
+}
+
+
+def _decode_text_string(s: str) -> str:
+    """Charset rule for §7.9.2.2 TEXT strings (metadata values), on the
+    escape-applied latin-1 byte image: BOM'd UTF-16BE / UTF-8 first,
+    then the bare-UTF-8 heuristic (common real-world dirt pypdf also
+    tolerates), else PDFDocEncoding (Annex D.2) — the spec's default
+    for BOM-less text strings."""
+    if s.isascii():
+        # the 0x18–0x1F accent block sits INSIDE the ASCII range —
+        # remap it even on the fast path (control bytes never appear
+        # in legitimate ASCII metadata, so the scan is a no-op there)
+        if any(0x18 <= ord(c) <= 0x1F for c in s):
+            return "".join(_PDFDOC_DIFF.get(ord(c), c) for c in s)
+        return s
+    if s.startswith(("\xfe\xff", "\xef\xbb\xbf")):
+        return _decode(s)
+    try:
+        return s.encode("latin-1").decode("utf-8")
+    except (UnicodeDecodeError, UnicodeEncodeError):
+        return "".join(_PDFDOC_DIFF.get(ord(c), c) for c in s)
 
 PDF_INFO = T.StructType(
     [
@@ -89,7 +131,7 @@ def parse_info_dict(content: bytes, text: str | None = None) -> dict[str, str]:
                 continue
             seen.add(key)
             snake = next(s for k, s in INFO_KEYS if k == key)
-            out[snake] = _unescape_str(m.group(2)[1:-1])
+            out[snake] = _decode_text_string(_unescape_raw(m.group(2)[1:-1]))
     return out
 
 

@@ -157,10 +157,17 @@ _INFO_OBJ = re.compile(
 )
 
 
-def _unescape_str(s: str) -> str:
+def _unescape_raw(s: str) -> str:
+    """Escape resolution only (latin-1 byte image preserved) — for
+    callers that apply their own charset rule, e.g. the metadata
+    scan's PDFDocEncoding path."""
     if "\\" in s:
         s = _ESC.sub(_unescape, s)
-    return _decode(s)
+    return s
+
+
+def _unescape_str(s: str) -> str:
+    return _decode(_unescape_raw(s))
 
 
 _HEX_ONLY = re.compile(r"[0-9a-fA-F]+")

@@ -157,3 +157,43 @@ def test_info_keys_inside_text_run_do_not_leak():
     real = b"%PDF-1.4\n1 0 obj\n<< /Title (real) /Author (a) >>\nendobj\n"
     got = parse_info_dict(real)
     assert got["title"] == "real" and got["author"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# PDFDocEncoding (Annex D.2) for BOM-less /Info text strings
+# ---------------------------------------------------------------------------
+
+
+def test_pdfdoc_specials_in_info_values():
+    from insurance_pdf_extractor_spark.operators.metadata import parse_info_dict
+
+    # bullet(0x80), em-dash(0x84), euro(0xA0), fi-ligature(0x93) via
+    # octal escapes — the Annex D.2 blocks where PDFDoc != latin-1
+    info = (
+        b"1 0 obj\n<< /Title (Report \\200 2024 \\204 Q1 \\240 5 \\223nal)"
+        b" /Author (plain) >>\nendobj\n"
+    )
+    got = parse_info_dict(info)
+    assert got["title"] == "Report • 2024 — Q1 € 5 ﬁnal"
+    assert got["author"] == "plain"
+
+
+def test_pdfdoc_charset_priority():
+    from insurance_pdf_extractor_spark.operators.metadata import _decode_text_string
+
+    val = "Ünïcode"
+    # BOM'd UTF-16BE wins
+    u16 = "\xfe\xff" + val.encode("utf-16-be").decode("latin-1")
+    assert _decode_text_string(u16) == val
+    # bare UTF-8 heuristic wins over PDFDoc (real-world dirt tolerance)
+    assert _decode_text_string(val.encode("utf-8").decode("latin-1")) == val
+    # BOM-less non-UTF-8: PDFDoc diff applies, latin-1 body stands
+    assert _decode_text_string("caf\xe9 \x85 bar") == "caf\xe9 – bar"
+    # undefined PDFDoc bytes (0x7f, 0x9f) stand as-is
+    assert _decode_text_string("\x7fx\x9f") == "\x7fx\x9f"
+
+
+def test_pdfdoc_accent_block():
+    from insurance_pdf_extractor_spark.operators.metadata import _decode_text_string
+
+    assert _decode_text_string("\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f") == "˘ˇˆ˙˝˛˚˜"
