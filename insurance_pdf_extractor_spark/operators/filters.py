@@ -480,6 +480,7 @@ _INT_KEY = {
     b"Columns": re.compile(rb"/Columns[ \t\r\n\f\x00]+(\d+)"),
     b"Colors": re.compile(rb"/Colors[ \t\r\n\f\x00]+(\d+)"),
     b"BitsPerComponent": re.compile(rb"/BitsPerComponent[ \t\r\n\f\x00]+(\d+)"),
+    b"EarlyChange": re.compile(rb"/EarlyChange[ \t\r\n\f\x00]+(\d+)"),
 }
 
 
@@ -694,7 +695,12 @@ def _decode_stream_data(data: bytes, d: bytes, budget: int) -> bytes:
         dec = _DECODERS.get(nm)
         if dec is None:
             raise _Unsupported()
-        decoded = dec(decoded, budget)
+        if nm in (b"LZWDecode", b"LZW") and parms is not None:
+            # §7.4.4.2 table 8: /EarlyChange 0 defers the code-width
+            # bump by one code (default 1 bumps early)
+            decoded = lzw_decode(decoded, budget, early=parms.get(b"EarlyChange", 1))
+        else:
+            decoded = dec(decoded, budget)
         if predictor_pending and nm in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
             decoded = apply_predictor(
                 decoded,

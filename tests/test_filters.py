@@ -537,3 +537,28 @@ def test_objstm_corruption_sweep_never_crashes(structure):
         except Exception as e:  # noqa: BLE001
             raise AssertionError(f"unhandled {type(e).__name__} on mutated objstm doc") from e
         assert isinstance(spans, list)
+
+
+def test_lzw_earlychange_zero_via_decodeparms():
+    # §7.4.4.2: /EarlyChange 0 defers the code-width bump; data long
+    # enough to cross the 9->10 bit boundary decodes differently under
+    # the two conventions, so the parameter must actually reach the
+    # decoder
+    rng = random.Random("early")
+    body = bytes(rng.randrange(256) for _ in range(2000))
+    enc = flt.lzw_encode(body, early=0)
+    assert flt.lzw_decode(enc, early=0) == body
+    # conventions diverge: the early=1 misread either yields different
+    # bytes or trips the table-range check
+    try:
+        assert flt.lzw_decode(enc, early=1) != body
+    except ValueError:
+        pass
+    obj = (
+        b"2 0 obj\n<< /Length "
+        + str(len(enc)).encode()
+        + b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>\nstream\n"
+        + enc
+        + b"\nendstream\nendobj\n"
+    )
+    assert decode_content_filters(b"%PDF-1.4\n" + obj) == b"%PDF-1.4\n" + body
