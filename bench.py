@@ -309,6 +309,19 @@ def main() -> None:
     timings["extract_from_storage_filtered_32x"] = round(storage_filtered_sec, 3)
     shutil.rmtree(rawf_dir, ignore_errors=True)
 
+    # font-encoded production shape (round 5): the full real-world
+    # matrix — filters × PDF-1.5 structure × FONT ENCODING (plain /
+    # Differences-cipher / 2-byte Identity-H+ToUnicode). Font docs
+    # bypass the block fast path for the token-level interpreter with
+    # show-time map lookups, so the delta vs the filtered row is the
+    # font parse + interpreter-tier cost on ~2/3 of the corpus.
+    rawe_dir = tempfile.mkdtemp(prefix="bench_rawe_") + "/raw"
+    render_documents_raw(reps, encoded=True).write.parquet(rawe_dir)
+    stored_e = spark.read.parquet(rawe_dir)
+    storage_encoded_sec = _best_of(extract_results(stored_e, presalted=True))
+    timings["extract_from_storage_encoded_32x"] = round(storage_encoded_sec, 3)
+    shutil.rmtree(rawe_dir, ignore_errors=True)
+
     # warm run (codegen compile is one-time per JVM), then best-of-2
     # timed runs: single-shot headliners showed up to 20x spikes from
     # hypervisor steal invisible to loadavg (BENCH.md variance notes)

@@ -44,6 +44,10 @@ SHARD_SPAN = T.StructType(
         T.StructField("start", T.LongType(), False),   # 0-based byte offset
         T.StructField("length", T.LongType(), False),
         T.StructField("base_page", T.IntegerType(), False),
+        # bytes of document preamble to PREPEND to this chunk (font
+        # documents: shards past the first need the font/resource
+        # objects so per-shard tokenize resolves codes; 0 otherwise)
+        T.StructField("pre_len", T.LongType(), False),
     ]
 )
 
@@ -133,7 +137,31 @@ def shard_content(content: bytes, pages_per_shard: int) -> list[tuple[int, bytes
     """Split a content stream at %%PAGE markers into shards of
     ``pages_per_shard`` pages. Returns (shard_idx, chunk, base_offset,
     base_page); base_offset restores global byte offsets, base_page
-    restores global page numbers."""
+    restores global page numbers.
+
+    Font documents: the preamble's font/resource objects must reach
+    every shard's tokenizer, so shards past the first get the preamble
+    PREPENDED (the preamble emits no runs, and base_offset is reduced
+    by its length so re-based offsets stay exact). Cross-shard ``Tf``
+    state needs no forwarding because shard boundaries are PAGE
+    boundaries and a conformant page establishes its own text state
+    (§8.2: page content streams are independent); a document carrying
+    font material PAST the first page boundary (where per-shard
+    re-parse could miss definitions) is conservatively left unsharded.
+    """
+    return [
+        (i, content[:pl] + content[s : s + ln], s - pl, bp)
+        for i, s, ln, bp, pl in shard_spans(content, pages_per_shard)
+    ]
+
+
+def shard_spans(
+    content: bytes, pages_per_shard: int
+) -> list[tuple[int, int, int, int, int]]:
+    """(shard_idx, start, length, base_page, pre_len) tuples — the
+    offsets-only shape the JVM-side slicer consumes; ``pre_len`` > 0
+    means "prepend content[:pre_len]" (non-contiguous chunk, two
+    substring slices)."""
     marker = b"%%PAGE"
     positions: list[int] = []
     pos = content.find(marker)
@@ -141,15 +169,34 @@ def shard_content(content: bytes, pages_per_shard: int) -> list[tuple[int, bytes
         positions.append(pos)
         pos = content.find(marker, pos + 1)
     if not positions:
-        return [(0, content, 0, 0)]
-    shards: list[tuple[int, bytes, int, int]] = []
-    # preamble (%PDF header) goes with shard 0
+        return [(0, 0, len(content), 0, 0)]
+    pre_len = 0
+    if b"/Font" in content:
+        if content.find(b"/Font", positions[0]) != -1:
+            return [(0, 0, len(content), 0, 0)]  # shard-unsafe: whole-doc
+        pre_len = positions[0]
+        # a shard-starting page must re-establish its own Tf (a
+        # conformant page always does; pypdf's per-page extraction has
+        # exactly this boundary) — if one doesn't, splitting there
+        # could decode its shows without the document's running font
+        # state, so fall back to whole-doc (conservative heuristic:
+        # substring presence in the page's first segment)
+        for start_page in range(pages_per_shard, len(positions), pages_per_shard):
+            seg_end = (
+                positions[start_page + 1]
+                if start_page + 1 < len(positions)
+                else len(content)
+            )
+            if content.find(b"Tf", positions[start_page], seg_end) == -1:
+                return [(0, 0, len(content), 0, 0)]
+    spans: list[tuple[int, int, int, int, int]] = []
+    # preamble (%PDF header, info/font objects) goes with shard 0
     for s_idx, start_page in enumerate(range(0, len(positions), pages_per_shard)):
         start = positions[start_page] if s_idx > 0 else 0
         end_page = start_page + pages_per_shard
         end = positions[end_page] if end_page < len(positions) else len(content)
-        shards.append((s_idx, content[start:end], start, start_page))
-    return shards
+        spans.append((s_idx, start, end - start, start_page, pre_len if s_idx else 0))
+    return spans
 
 
 @F.pandas_udf(T.ArrayType(SHARD_SPAN))
@@ -165,12 +212,18 @@ def shard_offsets_udf(content: pd.Series, pages_per_shard: pd.Series) -> pd.Seri
         if c is None:
             out.append([])
             continue
-        spans = []
-        for i, chunk, boff, bpage in shard_content(bytes(c), int(p)):
-            spans.append(
-                {"shard_idx": i, "start": boff, "length": len(chunk), "base_page": bpage}
-            )
-        out.append(spans)
+        out.append(
+            [
+                {
+                    "shard_idx": i,
+                    "start": s,
+                    "length": ln,
+                    "base_page": bp,
+                    "pre_len": pl,
+                }
+                for i, s, ln, bp, pl in shard_spans(bytes(c), int(p))
+            ]
+        )
     return pd.Series(out)
 
 

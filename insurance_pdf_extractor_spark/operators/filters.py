@@ -53,7 +53,12 @@ MAX_DECODED_BYTES = 64 << 20
 
 _WS = b" \t\r\n\f\x00"
 
-_OBJ_HDR = re.compile(rb"(\d+)[ \t\r\n\f\x00]+(\d+)[ \t\r\n\f\x00]+obj\b")
+# run-start lookbehind + possessive runs: a digit sequence is tried
+# ONCE from its start (hex-string operands are multi-hundred-digit
+# runs; the old backtracking form re-scanned every suffix of every
+# run — measured ~1.4 ms/doc on 2-byte-font content, the same ReDoS
+# class as _INFO_OBJ)
+_OBJ_HDR = re.compile(rb"(?<![0-9])(\d++)[ \t\r\n\f\x00]++(\d++)[ \t\r\n\f\x00]++obj\b")
 # (?![0-9]) pins the digit run so backtracking can't split "12 0 R"
 # into length "1" + a failed indirect-ref lookahead on "2 0 R"
 _LENGTH_DIRECT = re.compile(

@@ -5,7 +5,7 @@ Replaces the reference's ``pypdf.PdfReader(...).pages[i].extract_text()``
 (app/services/pdf_processor.py:364-375) with a from-scratch reader of
 the text-object operator subset (PDF 32000-1:2008 §9.4): ``BT/ET``
 blocks, ``Tf`` font selection, ``Td/TD/Tm/T*`` positioning, and
-``Tj/TJ/'`` string-showing operators, plus ``%%PAGE n`` page markers.
+``Tj/TJ/'/\"`` string-showing operators, plus ``%%PAGE n`` page markers.
 
 Every run records the byte offset of its string object in the source —
 offsets are the authoritative, data-derived ordering key, so results
@@ -193,15 +193,33 @@ def _skip_inline_image(text: str, pos: int) -> int:
     return m.end() if m is not None else len(text)
 
 
-def _decode_hex_string(body: str) -> str:
-    """§7.3.4.3 hex string body (between ``<`` and ``>``): whitespace
-    ignored, an odd trailing digit padded with 0. Non-hex garbage is
-    ignored (dirty-input tolerance) — ALL tiers must share this exact
-    rule or the differential fuzz diverges."""
+def _raw_hex_string(body: str) -> str:
+    """§7.3.4.3 hex string body (between ``<`` and ``>``) → latin-1
+    byte image: whitespace ignored, an odd trailing digit padded with
+    0. Non-hex garbage is ignored (dirty-input tolerance) — ALL tiers
+    must share this exact rule or the differential fuzz diverges."""
     hx = "".join(_HEX_ONLY.findall(body))
     if len(hx) % 2:
         hx += "0"
-    return _decode(bytes.fromhex(hx).decode("latin-1"))
+    return bytes.fromhex(hx).decode("latin-1")
+
+
+def _decode_hex_string(body: str) -> str:
+    return _decode(_raw_hex_string(body))
+
+
+def _show_decode(raw: str, cur_font: str | None, fonts) -> str:
+    """Show-time decode shared by the interpreter and reference tiers:
+    the current font's byte→text map when it has one (operators/
+    fonts.py), else the charset heuristic ``_decode``. With
+    ``fonts=None`` (every font-free document) this is exactly the
+    historical per-string ``_decode`` — byte-identical behavior,
+    deferred from operand-push time to show time."""
+    if fonts is not None and cur_font is not None:
+        fm = fonts.get(cur_font)
+        if fm is not None:
+            return fm.decode(raw)
+    return _decode(raw)
 
 
 def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]:
@@ -219,6 +237,7 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
     """
     if not content:
         return []
+    orig = content
     if b"stream" in content and (b"/Filter" in content or b"/ObjStm" in content):
         # real-world PDFs ship content streams filtered (FlateDecode
         # et al.) and, since PDF 1.5, non-stream objects packed in
@@ -234,6 +253,25 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
             content = decode_content_filters(content)
         except ValueError:
             return []
+    if b"/Font" in content:
+        # real-world text is shown through FONTS whose /Encoding
+        # (Differences) or /ToUnicode CMap maps string bytes to
+        # characters (operators/fonts.py). The C-level substring guard
+        # keeps font-free documents at zero added cost; font documents
+        # route to the token-level interpreter, which tracks Tf state
+        # and decodes at show time. Font parsing reads the DECODED
+        # buffer for dicts (ObjStm-packed fonts included) and the
+        # pristine buffer for ToUnicode stream payloads (the splice
+        # consumes wrappers). A CMap range bomb (ValueError) poisons
+        # the document text-free, like a filter bomb.
+        from .fonts import parse_font_maps
+
+        try:
+            fonts = parse_font_maps(content.decode("latin-1"), orig)
+        except ValueError:
+            return []
+        if fonts:
+            return _tokenize_interpreter(content, fonts)
     text = content.decode("latin-1")
     n = len(text)
     pos = 0
@@ -280,10 +318,18 @@ def tokenize_content(content: bytes) -> list[tuple[int, float, float, int, str]]
     return runs
 
 
-def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, str]]:
+def _tokenize_interpreter(
+    content: bytes, fonts=None
+) -> list[tuple[int, float, float, int, str]]:
     """Token-level interpreter (finditer master pattern): handles every
     operator arrangement the block fast path cannot. Nested literal
     strings fall back once more to the straight-line reference parser.
+
+    ``fonts`` ({'/F1': FontMap} from operators/fonts.py) switches the
+    tier to font-aware decode: string operands are held as raw byte
+    images and resolved at show time through the ``Tf``-selected
+    font's map (text state persists across BT/ET, §9.3.1). With
+    ``fonts=None`` behavior is byte-identical to the historical tier.
     """
     if not content:
         return []
@@ -291,6 +337,7 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
     page = 0
     lm_x = lm_y = 0.0
     leading = 0.0
+    cur_font: str | None = None
     stack: list = []
     runs: list[tuple[int, float, float, int, str]] = []
     array_marks: list[int] = []
@@ -311,11 +358,11 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
                 # nested or unterminated string: the flat alternative
                 # could not swallow it — reparse the whole doc with the
                 # straight-line reference parser (identical semantics)
-                return tokenize_content_reference(content)
+                return tokenize_content_reference(content, fonts)
             s = tok[1:-1]
             if "\\" in s:
                 s = _ESC.sub(_unescape, s)
-            stack.append(("s", m.start(), _decode(s)))
+            stack.append(("s", m.start(), s))
             continue
         if t0 == ")":
             continue  # stray closer, skip
@@ -341,7 +388,7 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
             continue
         if t0 == "<":
             if len(tok) >= 2 and tok[-1] == ">":  # hex string operand
-                stack.append(("s", m.start(), _decode_hex_string(tok[1:-1])))
+                stack.append(("s", m.start(), _raw_hex_string(tok[1:-1])))
             continue  # lone '<' (dict open half / unterminated): consumed
         if t0 in ">{}":
             continue
@@ -391,14 +438,37 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
                 lm_y -= leading
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                 _, off, s = stack[-1]
-                runs.append((page, lm_x, lm_y, off, s))
+                runs.append((page, lm_x, lm_y, off, _show_decode(s, cur_font, fonts)))
             stack.clear(); array_marks.clear()
         elif op == "TJ":
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                 _, off, items = stack[-1]
-                s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
+                s = "".join(
+                    _show_decode(it[2], cur_font, fonts)
+                    for it in items
+                    if isinstance(it, tuple) and it[0] == "s"
+                )
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
+            stack.clear(); array_marks.clear()
+        elif op == '"':
+            # §9.4.3: aw ac (string) " — set spacings (no effect on the
+            # line model), move to next line, show; string leniency
+            # mirrors Tj/' exactly
+            lm_y -= leading
+            if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
+                _, off, s = stack[-1]
+                runs.append((page, lm_x, lm_y, off, _show_decode(s, cur_font, fonts)))
+            stack.clear(); array_marks.clear()
+        elif op == "Tf":
+            # §9.3.1 text state: font selection persists across BT/ET
+            if (
+                len(stack) >= 2
+                and isinstance(stack[-1], float)
+                and isinstance(stack[-2], tuple)
+                and stack[-2][0] == "n"
+            ):
+                cur_font = stack[-2][2]
             stack.clear(); array_marks.clear()
         elif op == "BI":  # inline image: skip its binary data wholesale
             pos = _skip_inline_image(text, pos)
@@ -408,9 +478,13 @@ def _tokenize_interpreter(content: bytes) -> list[tuple[int, float, float, int, 
     return runs
 
 
-def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, int, str]]:
+def tokenize_content_reference(
+    content: bytes, fonts=None
+) -> list[tuple[int, float, float, int, str]]:
     """Straight-line per-character implementation, kept as the
-    differential-testing reference for the regex scanner above."""
+    differential-testing reference for the regex scanner above.
+    ``fonts`` follows the interpreter tier's contract exactly (raw
+    string operands, show-time decode through the Tf-selected map)."""
     if not content:
         return []
     text = content.decode("latin-1")
@@ -419,6 +493,7 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
     page = 0
     lm_x = lm_y = 0.0      # text-line matrix origin (e, f components)
     leading = 0.0
+    cur_font: str | None = None
     stack: list = []       # operands: floats, ('s', off, str), ('a', off, [items])
     runs: list[tuple[int, float, float, int, str]] = []
     array_marks: list[int] = []
@@ -459,11 +534,10 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
             else:
                 out.append(c)
                 j += 1
-        s = "".join(out)
         # the scan is byte-transparent (latin-1) so offsets stay exact;
-        # charset interpretation (BOM'd UTF-16BE/UTF-8, bare UTF-8) is
-        # the SHARED _decode — all tiers must agree byte-for-byte
-        return j, _decode(s)
+        # charset interpretation happens at SHOW time via the shared
+        # _show_decode — all tiers must agree byte-for-byte
+        return j, "".join(out)
 
     while i < n:
         c = text[i]
@@ -527,7 +601,7 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
             while j < n and text[j] not in "<>":
                 j += 1
             if j < n and text[j] == ">":
-                stack.append(("s", i, _decode_hex_string(text[i + 1 : j])))
+                stack.append(("s", i, _raw_hex_string(text[i + 1 : j])))
                 i = j + 1
             else:
                 i += 1
@@ -571,14 +645,37 @@ def tokenize_content_reference(content: bytes) -> list[tuple[int, float, float, 
                 lm_y -= leading
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
                 _, off, s = stack[-1]
-                runs.append((page, lm_x, lm_y, off, s))
+                runs.append((page, lm_x, lm_y, off, _show_decode(s, cur_font, fonts)))
             stack.clear(); array_marks.clear()
         elif op == "TJ":
             if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "a":
                 _, off, items = stack[-1]
-                s = "".join(it[2] for it in items if isinstance(it, tuple) and it[0] == "s")
+                s = "".join(
+                    _show_decode(it[2], cur_font, fonts)
+                    for it in items
+                    if isinstance(it, tuple) and it[0] == "s"
+                )
                 if s:
                     runs.append((page, lm_x, lm_y, off, s))
+            stack.clear(); array_marks.clear()
+        elif op == '"':
+            # §9.4.3: aw ac (string) " — set spacings (no effect on the
+            # line model), move to next line, show; string leniency
+            # mirrors Tj/' exactly
+            lm_y -= leading
+            if stack and isinstance(stack[-1], tuple) and stack[-1][0] == "s":
+                _, off, s = stack[-1]
+                runs.append((page, lm_x, lm_y, off, _show_decode(s, cur_font, fonts)))
+            stack.clear(); array_marks.clear()
+        elif op == "Tf":
+            # §9.3.1 text state: font selection persists across BT/ET
+            if (
+                len(stack) >= 2
+                and isinstance(stack[-1], float)
+                and isinstance(stack[-2], tuple)
+                and stack[-2][0] == "n"
+            ):
+                cur_font = stack[-2][2]
             stack.clear(); array_marks.clear()
         elif op == "BI":  # inline image: skip its binary data wholesale
             i = _skip_inline_image(text, i)

@@ -166,14 +166,22 @@ def _extract_spans_sized(
     # offsets first and slicing after would copy the FULL content
     # binary into every shard row (n_shards × doc bytes — measured as
     # the dominant cost of the old chunk-carrying path).
+    # pre_len > 0 (font documents) prepends the document preamble —
+    # font/resource objects — to the chunk: concat of two JVM-side
+    # slices, still zero Python round trips for the bytes. base_offset
+    # shifts down by pre_len so re-based offsets stay exact (the
+    # preamble emits no runs).
     chunk_structs = F.transform(
         shard_offsets_udf("content", F.lit(shard_pages)),
         lambda so: F.struct(
             so["shard_idx"].alias("shard_idx"),
-            F.substring(
-                F.col("content"), (so["start"] + 1).cast("int"), so["length"].cast("int")
+            F.concat(
+                F.substring(F.col("content"), F.lit(1), so["pre_len"].cast("int")),
+                F.substring(
+                    F.col("content"), (so["start"] + 1).cast("int"), so["length"].cast("int")
+                ),
             ).alias("chunk"),
-            so["start"].alias("base_offset"),
+            (so["start"] - so["pre_len"]).alias("base_offset"),
             so["base_page"].alias("base_page"),
         ),
     )

@@ -2701,20 +2701,25 @@ def q_extract_pipeline(spark, sf_dir):
     the shared documents table: each row's text is rendered into a
     content stream, then extracted back through the full engine.
 
-    mixed_filters=True (round 5): each doc's page content ships inside
-    a PDF stream object whose filter chain is f(doc_id) — FlateDecode /
-    LZWDecode / ASCIIHexDecode / ASCII85Decode+FlateDecode /
-    RunLengthDecode / plain (sources/render.py FILTER_MIX), the
-    real-world compressed-PDF input shape the reference reads through
-    pypdf. The fixture is UNCHANGED: operators/filters.py's splice
-    contract makes the filtered render decode to the byte-identical
-    plain buffer, so every span INCLUDING offsets must still hash-match
-    — any decode bug goes red on this flagship gate."""
+    encoded=True (round 5): the full real-world matrix — each doc's
+    page content ships inside a PDF stream object whose filter chain
+    is f(doc_id) (FlateDecode / LZWDecode / ASCIIHexDecode /
+    ASCII85Decode+FlateDecode / RunLengthDecode / FlateDecode+PNG-
+    predictor / plain), under a PDF-1.5 structure pick (classic /
+    ObjStm-packed info / ObjStm+XRef stream), shown through a FONT
+    ENCODING pick (plain strings / a /Differences-remapped simple font
+    / a 2-byte Identity-H composite font with a FlateDecode-compressed
+    /ToUnicode CMap) — the subset-embedded-font shape the reference
+    reads through pypdf's cmap layer (operators/fonts.py). The fixture
+    mirrors the decoded-buffer geometry independently
+    (tools/make_fixtures.py expected_spans), so every span INCLUDING
+    offsets must hash-match — any filter-decode, splice-accounting, or
+    font-decode bug goes red on this flagship gate."""
     from .plans.pipeline import extract_documents
     from .sources.render import render_documents_raw
 
     d = _load(spark, sf_dir, "documents")
-    raw = render_documents_raw(d, mixed_filters=True)
+    raw = render_documents_raw(d, encoded=True)
     docs, _rejects = extract_documents(raw, presalted=True)
     return docs.select(
         "doc_id", F.posexplode("spans").alias("order", "span")

@@ -60,12 +60,104 @@ def info_obj_bytes(meta: dict[str, str]) -> bytes:
     return b"1 0 obj\n" + info_dict_body(meta) + b"\nendobj\n"
 
 
+# ---------------------------------------------------------------------------
+# font-encoded string emission (round 5): the real-world shape where
+# shown string BYTES are font codes, not characters. Two variants:
+#
+# - "differences": a simple Type1 font whose /Encoding /Differences
+#   array remaps letters to high codes (a-z → 0xA1.., A-Z → 0xC1..)
+#   via AGL glyph names and digits to 0xE0.. via the algorithmic
+#   /uniXXXX form; unmapped characters pass through as themselves
+#   (WinAnsi base). One byte per character, so string payloads keep
+#   their plain length.
+# - "cid": a Type0 /Identity-H composite font showing 2-byte codes
+#   (0x0100 + ord(char)) as hex strings, mapped back by a
+#   FlateDecode-compressed /ToUnicode CMap (one bfrange) — the
+#   subset-embedded-font shape pypdf resolves through its cmap layer.
+#
+# The extracted spans must be IDENTICAL to the plain render's spans
+# (same text, same order); byte offsets shift by the font preamble,
+# which the span contract orders by, not pins across variants.
+# Object numbers 9001-9003 sit far above any page-stream object.
+# ---------------------------------------------------------------------------
+
+
+def cipher_encode(s: str) -> str:
+    out = []
+    for c in s:
+        if "a" <= c <= "z":
+            out.append(chr(0xA1 + ord(c) - 97))
+        elif "A" <= c <= "Z":
+            out.append(chr(0xC1 + ord(c) - 65))
+        elif "0" <= c <= "9":
+            out.append(chr(0xE0 + ord(c) - 48))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def cid_hex(s: str) -> str:
+    return "".join(f"{0x0100 + ord(c):04X}" for c in s)
+
+
+_CIPHER_DIFFS = (
+    " ".join(f"{0xA1 + i} /{chr(97 + i)}" for i in range(26))
+    + " "
+    + " ".join(f"{0xC1 + i} /{chr(65 + i)}" for i in range(26))
+    + " "
+    + " ".join(f"{0xE0 + i} /uni{0x30 + i:04X}" for i in range(10))
+)
+
+_TOUNICODE_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"12 dict begin\nbegincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"1 beginbfrange\n<0120> <017E> <0020>\nendbfrange\n"
+    b"endcmap\nend\nend\n"
+)
+
+
+def font_preamble(encoding: str) -> bytes:
+    """Font + page-resource (+ ToUnicode stream) objects for one
+    encoding variant, emitted between the info object and the first
+    page."""
+    from ..operators.filters import stream_object_bytes
+
+    if encoding == "differences":
+        font = (
+            b"9001 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /SparkGraft-Cipher"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ "
+            + _CIPHER_DIFFS.encode()
+            + b" ] >> >>\nendobj\n"
+        )
+        extra = b""
+    elif encoding == "cid":
+        font = (
+            b"9001 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /SparkGraft-CID"
+            b" /Encoding /Identity-H /ToUnicode 9003 0 R >>\nendobj\n"
+        )
+        extra = stream_object_bytes(_TOUNICODE_CMAP, ("FlateDecode",), obj_num=9003)
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
+    res = b"9002 0 obj\n<< /Font << /F1 9001 0 R >> >>\nendobj\n"
+    return font + res + extra
+
+
+def _show_token(s: str, encoding: str | None) -> str:
+    if encoding == "differences":
+        return "(" + _esc(cipher_encode(s)) + ")"
+    if encoding == "cid":
+        return "<" + cid_hex(s) + ">"
+    return "(" + _esc(s) + ")"
+
+
 def render_text(
     doc_id: str,
     text: str,
     meta: dict[str, str] | None = None,
     filters: tuple[str, ...] | None = None,
     structure: str = "classic",
+    encoding: str | None = None,
 ) -> tuple[bytes, int]:
     """``filters`` (e.g. ``("FlateDecode",)`` or the chain
     ``("ASCII85Decode", "FlateDecode")``) wraps each page's content in
@@ -97,14 +189,24 @@ def render_text(
     else:
         raise ValueError(f"unknown structure {structure!r}")
     out = [b"%PDF-1.4\n", info]
+    if encoding:
+        out.append(font_preamble(encoding))
     for pg, pg_lines in enumerate(pages):
         out.append(f"%%PAGE {pg}\n".encode())
-        body = [f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n(Document {doc_id}) Tj\nET\n".encode()]
+        body = [
+            f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n"
+            f"{_show_token(f'Document {doc_id}', encoding)} Tj\nET\n".encode("latin-1")
+        ]
         y = 740.0
         for line in pg_lines:
-            body.append(f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode())
+            body.append(
+                f"BT\n72.0 {y:.1f} Td\n{_show_token(line, encoding)} Tj\nET\n".encode("latin-1")
+            )
             y -= 20.0
-        body.append(f"BT\n72.0 {y:.1f} Td\n(Page {pg + 1} of {len(pages)}) Tj\nET\n".encode())
+        body.append(
+            f"BT\n72.0 {y:.1f} Td\n"
+            f"{_show_token(f'Page {pg + 1} of {len(pages)}', encoding)} Tj\nET\n".encode("latin-1")
+        )
         page_body = b"".join(body)
         if filters:
             out.append(stream_object_bytes(page_body, filters, obj_num=pg + 2))
@@ -160,12 +262,46 @@ def structure_for_doc(doc_id: str) -> str:
     return STRUCTURE_MIX[h % len(STRUCTURE_MIX)]
 
 
+# Deterministic per-doc font-encoding assignment (independent md5 bits
+# from the filter and structure picks, so the full filter × structure ×
+# encoding matrix appears across a corpus): plain strings, a
+# /Differences-remapped simple font, and a 2-byte /Identity-H composite
+# font with a compressed /ToUnicode CMap.
+ENCODING_MIX: tuple[str | None, ...] = (None, "differences", "cid")
+
+
+def encoding_for_doc(doc_id: str) -> str | None:
+    import hashlib
+
+    h = int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[12:16], 16)
+    return ENCODING_MIX[h % len(ENCODING_MIX)]
+
+
 @F.pandas_udf(RENDERED)
 def _render_mixed_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     contents, n_pages = [], []
     for d, t in zip(doc_id, text):
         c, n = render_text(
             str(d), t, filters=filters_for_doc(str(d)), structure=structure_for_doc(str(d))
+        )
+        contents.append(c)
+        n_pages.append(n)
+    return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
+@F.pandas_udf(RENDERED)
+def _render_full_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """The full real-world matrix: filter chain × PDF-1.5 structure ×
+    font encoding, each a deterministic function of doc_id."""
+    contents, n_pages = [], []
+    for d, t in zip(doc_id, text):
+        ds = str(d)
+        c, n = render_text(
+            ds,
+            t,
+            filters=filters_for_doc(ds),
+            structure=structure_for_doc(ds),
+            encoding=encoding_for_doc(ds),
         )
         contents.append(c)
         n_pages.append(n)
@@ -181,10 +317,14 @@ def _render_mixed_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
 # a 3-branch plan).
 render_udf = _render_udf.asNondeterministic()
 render_mixed_udf = _render_mixed_udf.asNondeterministic()
+render_full_udf = _render_full_udf.asNondeterministic()
 
 
 def render_documents_raw(
-    documents: DataFrame, partitions: int | None = None, mixed_filters: bool = False
+    documents: DataFrame,
+    partitions: int | None = None,
+    mixed_filters: bool = False,
+    encoded: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → documents_raw for the pipeline.
 
@@ -206,7 +346,9 @@ def render_documents_raw(
     spark = documents.sparkSession
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     documents = documents.repartition(n_part, F.xxhash64(F.col("doc_id").cast("string")))
-    udf = render_mixed_udf if mixed_filters else render_udf
+    # encoded=True adds the per-doc font-encoding dimension ON TOP of
+    # the filter/structure mix (the full real-world matrix)
+    udf = render_full_udf if encoded else (render_mixed_udf if mixed_filters else render_udf)
     r = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         udf(F.col("doc_id").cast("string"), F.col("text")).alias("r"),

@@ -170,6 +170,25 @@ def test_inline_image_data_skipped():
     assert [(r[0], r[4]) for r in runs] == [(0, "before"), (0, "after")]
 
 
+def test_quote_show_operators():
+    from insurance_pdf_extractor_spark.operators.tokenize import (
+        _tokenize_interpreter,
+        tokenize_content,
+        tokenize_content_reference,
+    )
+
+    # §9.4.3: ' = next line + show; " = aw ac (s) " spacings + next
+    # line + show. Both advance by the TL leading.
+    b = b"BT\n10 TL\n1 100 Td\n(first) Tj\n(second) '\n2 3 (third) \" ET\n"
+    runs = tokenize_content(b)
+    assert [(r[2], r[4]) for r in runs] == [
+        (100.0, "first"),
+        (90.0, "second"),
+        (80.0, "third"),
+    ]
+    assert runs == tokenize_content_reference(b) == _tokenize_interpreter(b)
+
+
 def test_inline_image_truncation_consumes_tail():
     from insurance_pdf_extractor_spark.operators.tokenize import (
         _tokenize_interpreter,

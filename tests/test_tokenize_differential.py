@@ -119,6 +119,11 @@ _piece = st.one_of(
             "BI ID xEI EIx EI BT 1 2 Td (b) Tj ET\n",
             "BI /W 1 ID no terminator (c) Tj\n",
             "q BI EI Q BT 1 2 Td (d) Tj ET\n",
+            # quote-show operators: ' (next line + show) and " (set
+            # spacings + next line + show), with malformed operand mixes
+            "BT 8 TL 1 2 Td (a) ' (b) ' ET\n",
+            'BT 8 TL 1 2 Td 2 3 (c) " ET\n',
+            'BT (d) " 1 (e) " " ET\n',
         ]
     ),
 )

@@ -154,7 +154,68 @@ def _esc(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def expected_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]]:
+# --- font-encoding mirror (independent reimplementation of the
+# renderer's cipher/CID emission; byte-identity with the engine's
+# DECODED buffer is pinned by tests/test_fonts.py) ---------------------
+
+_FX_CIPHER = {}
+for _i in range(26):
+    _FX_CIPHER[chr(97 + _i)] = chr(0xA1 + _i)
+    _FX_CIPHER[chr(65 + _i)] = chr(0xC1 + _i)
+for _i in range(10):
+    _FX_CIPHER[chr(48 + _i)] = chr(0xE0 + _i)
+
+_FX_DIFFS = (
+    " ".join(f"{0xA1 + i} /{chr(97 + i)}" for i in range(26))
+    + " "
+    + " ".join(f"{0xC1 + i} /{chr(65 + i)}" for i in range(26))
+    + " "
+    + " ".join(f"{0xE0 + i} /uni{0x30 + i:04X}" for i in range(10))
+)
+
+_FX_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"12 dict begin\nbegincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"1 beginbfrange\n<0120> <017E> <0020>\nendbfrange\n"
+    b"endcmap\nend\nend\n"
+)
+
+
+def _fx_font_preamble_decoded(encoding: str) -> bytes:
+    """The font preamble AS IT APPEARS IN THE DECODED BUFFER (the
+    filter splice replaces the compressed ToUnicode stream object with
+    exactly its raw CMap payload) — only its length shifts span
+    offsets; it emits no spans itself."""
+    if encoding == "differences":
+        font = (
+            b"9001 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /SparkGraft-Cipher"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ "
+            + _FX_DIFFS.encode()
+            + b" ] >> >>\nendobj\n"
+        )
+        extra = b""
+    else:  # cid
+        font = (
+            b"9001 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /SparkGraft-CID"
+            b" /Encoding /Identity-H /ToUnicode 9003 0 R >>\nendobj\n"
+        )
+        extra = _FX_CMAP
+    return font + b"9002 0 obj\n<< /Font << /F1 9001 0 R >> >>\nendobj\n" + extra
+
+
+def _fx_show_token(s: str, encoding: str | None) -> bytes:
+    if encoding == "differences":
+        enc = "".join(_FX_CIPHER.get(c, c) for c in s)
+        return ("(" + _esc(enc) + ")").encode("latin-1")
+    if encoding == "cid":
+        return ("<" + "".join(f"{0x0100 + ord(c):04X}" for c in s) + ">").encode()
+    return ("(" + _esc(s) + ")").encode()
+
+
+def expected_spans(
+    doc_id: str, text: str, encoding: str | None = None
+) -> list[tuple[str, str, str | None, int]]:
     """(kind, text, media_ref, offset) sequence the pipeline must emit
     for one rendered document."""
     from insurance_pdf_extractor_spark.sources.render import default_metadata
@@ -170,6 +231,9 @@ def expected_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, i
     body = " ".join(f"/{k} ({_esc(v)})" for k, v in meta.items())
     out = bytearray(b"%PDF-1.4\n")
     out += f"1 0 obj\n<< {body} >>\nendobj\n".encode()
+    if encoding:
+        out += _fx_font_preamble_decoded(encoding)
+    tok0 = b"(" if encoding != "cid" else b"<"  # show-token start byte
 
     logical_pages: list[list[str]] = []
     line_records: list[tuple[int, str, int]] = []  # (page, text, offset)
@@ -177,20 +241,32 @@ def expected_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, i
         logical: list[str] = []
         out += f"%%PAGE {pg}\n".encode()
         title = f"Document {doc_id}"
-        block = f"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n({_esc(title)}) Tj\nET\n".encode()
-        line_records.append((pg, title, len(out) + block.index(b"(")))
+        block = (
+            b"BT\n/F1 12 Tf\n1 0 0 1 72.0 760.0 Tm\n"
+            + _fx_show_token(title, encoding)
+            + b" Tj\nET\n"
+        )
+        line_records.append((pg, title, len(out) + block.index(tok0)))
         logical.append(title)
         out += block
         y = 740.0
         for line in pg_lines:
-            block = f"BT\n72.0 {y:.1f} Td\n({_esc(line)}) Tj\nET\n".encode()
-            line_records.append((pg, line, len(out) + block.index(b"(")))
+            block = (
+                f"BT\n72.0 {y:.1f} Td\n".encode()
+                + _fx_show_token(line, encoding)
+                + b" Tj\nET\n"
+            )
+            line_records.append((pg, line, len(out) + block.index(tok0)))
             logical.append(line)
             out += block
             y -= 20.0
         footer = f"Page {pg + 1} of {n_pages}"
-        block = f"BT\n72.0 {y:.1f} Td\n({_esc(footer)}) Tj\nET\n".encode()
-        line_records.append((pg, footer, len(out) + block.index(b"(")))
+        block = (
+            f"BT\n72.0 {y:.1f} Td\n".encode()
+            + _fx_show_token(footer, encoding)
+            + b" Tj\nET\n"
+        )
+        line_records.append((pg, footer, len(out) + block.index(tok0)))
         logical.append(footer)
         out += block
         logical_pages.append(logical)
@@ -223,9 +299,17 @@ def load_embeddings(sf_dir: str):
 
 
 def fx_extract_pipeline_spans(docs) -> pa.Table:
+    # the per-doc variant PICK is shared with the renderer (like
+    # default_metadata); the byte geometry each pick produces is
+    # mirrored independently above
+    from insurance_pdf_extractor_spark.sources.render import encoding_for_doc
+
     rows = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": [], "offset": []}
     for doc_id, text in docs:
-        for order, (kind, txt, mref, off) in enumerate(expected_spans(str(doc_id), text)):
+        enc = encoding_for_doc(str(doc_id))
+        for order, (kind, txt, mref, off) in enumerate(
+            expected_spans(str(doc_id), text, encoding=enc)
+        ):
             rows["doc_id"].append(str(doc_id))
             rows["order"].append(order)
             rows["kind"].append(kind)
