@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from ..schema import SPAN
 from .boilerplate import strip_boilerplate
+from .html import extract_html, sniff_format
 from .layout import layout_lines
 from .tokenize import tokenize_content
 
@@ -84,7 +85,18 @@ def extract_spans(
     n_pages: int,
 ) -> list[tuple[str, str | None, str | None, int]]:
     """Fused tokenize → layout → boilerplate-strip → assemble for one
-    document (called batched from the pandas_udf)."""
+    document (called batched from the pandas_udf).
+
+    Format dispatch (north rule: the corpus interleaves formats, not
+    just media): HTML documents route to the HTML tokenizer/DOM-lite
+    block extractor (operators/html.py), whose output is already
+    boilerplate-stripped and carries the document's own ``<img>`` media
+    refs; PDF-style content streams take the existing three-tier path.
+    Both converge on the same (kind, text, media_ref, offset) span
+    contract, ordered by byte offset."""
+    if content and sniff_format(content) == "html":
+        lines, html_media = extract_html(content)
+        return assemble_spans(lines, list(media or []) + html_media)
     runs = tokenize_content(content) if content else []
     lines = layout_lines(runs)
     lines = strip_boilerplate(lines, n_pages)

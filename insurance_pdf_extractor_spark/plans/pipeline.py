@@ -50,6 +50,11 @@ from ..schema import DOCUMENTS_SIZED
 from ..functions.confidence import confidence_map_expr, estimated_cost_expr, token_count_expr
 
 PDF_MAGIC = bytes(b"%PDF-")
+# 5-byte magic prefixes the pipeline accepts. HTML joins PDF (north
+# rule: the corpus interleaves formats; operators/html.py) — the two
+# case variants cover real-world doctype casing without a per-row
+# lower() on a binary column.
+VALID_MAGICS = (b"%PDF-", b"<!DOC", b"<!doc", b"<html", b"<HTML")
 
 
 def effective_shard_size(max_size_bytes: int, shard_size_bytes: int | None) -> int:
@@ -84,11 +89,11 @@ def classify_rejects(raw: DataFrame, max_size_bytes: int = MAX_FILE_SIZE_BYTES) 
     means unreadable content, so the fast path may reject on it without
     touching ``content``."""
     if "magic" in raw.columns:
-        magic_bad = F.col("magic").isNull() | (F.col("magic") != F.lit(PDF_MAGIC))
+        magic_bad = F.col("magic").isNull() | ~F.col("magic").isin(list(VALID_MAGICS))
     else:
-        magic_bad = F.col("content").isNull() | (
-            F.substring(F.col("content").cast("binary"), 1, 5) != F.lit(PDF_MAGIC)
-        )
+        magic_bad = F.col("content").isNull() | ~F.substring(
+            F.col("content").cast("binary"), 1, 5
+        ).isin(list(VALID_MAGICS))
     return raw.withColumn(
         "reject_reason",
         F.when(F.col("size_bytes") > max_size_bytes, "size_exceeds_limit")
@@ -138,15 +143,27 @@ def _extract_spans_sized(
 ) -> DataFrame:
     """Kernel stage over validated docs → (doc_id, spans, size_bytes).
     size_bytes rides along so results assembly needs no join back to
-    the raw table (a full-width shuffle at corpus scale)."""
-    small = ok.filter(F.col("size_bytes") <= shard_size_bytes)
+    the raw table (a full-width shuffle at corpus scale).
+
+    Only PDF documents take the oversized shard path: page-range
+    sharding keys on ``%%PAGE`` markers, a PDF concept. Oversized HTML
+    documents stay in the fused kernel — one doc is one Arrow row
+    (byte-bounded batching already caps batch memory), so a giant HTML
+    page is a bounded straggler task, not a correctness or memory
+    hazard; at corpus scale such documents are a vanishing tail of the
+    interleaved mix."""
+    if "magic" in ok.columns:
+        is_pdf = F.col("magic") == F.lit(PDF_MAGIC)
+    else:
+        is_pdf = F.substring(F.col("content").cast("binary"), 1, 5) == F.lit(PDF_MAGIC)
+    small = ok.filter((F.col("size_bytes") <= shard_size_bytes) | ~is_pdf)
     small_docs = small.select(
         "doc_id",
         extract_spans_udf("content", "media", "n_pages").alias("spans"),
         "size_bytes",
     )
 
-    big = ok.filter(F.col("size_bytes") > shard_size_bytes)
+    big = ok.filter((F.col("size_bytes") > shard_size_bytes) & is_pdf)
     # filtered (compressed) oversized docs must be rewritten to plain
     # bytes BEFORE the %%PAGE marker scan and JVM-side slicing (see
     # decode_filters_udf); the contains() guard keeps plain-corpus

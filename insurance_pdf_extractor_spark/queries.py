@@ -2701,7 +2701,19 @@ def q_extract_pipeline(spark, sf_dir):
     the shared documents table: each row's text is rendered into a
     content stream, then extracted back through the full engine.
 
-    encoded=True (round 5): the full real-world matrix — each doc's
+    interleaved=True (round 5, second half): the corpus mixes FORMATS —
+    a deterministic third of documents render as realistic HTML pages
+    (template chrome, nav/footer/aside boilerplate, link-dense rows,
+    repeated ad slots, entities, script/style/comment decoys, <img>
+    media refs) and route through the from-scratch HTML main-content
+    extractor (operators/html.py: structural strip + link density +
+    repeated-line frequency), emitting media spans interleaved with
+    text spans; the remaining two thirds render as the full PDF
+    matrix below. One pipeline, one span contract, format dispatch by
+    magic sniff (the north rule's "HTML boilerplate strip, PDF/layout
+    parse, DOM heuristics" over interleaved text + media documents).
+
+    The PDF two-thirds keep the full real-world matrix — each doc's
     page content ships inside a PDF stream object whose filter chain
     is f(doc_id) (FlateDecode / LZWDecode / ASCIIHexDecode /
     ASCII85Decode+FlateDecode / RunLengthDecode / FlateDecode+PNG-
@@ -2719,7 +2731,7 @@ def q_extract_pipeline(spark, sf_dir):
     from .sources.render import render_documents_raw
 
     d = _load(spark, sf_dir, "documents")
-    raw = render_documents_raw(d, encoded=True)
+    raw = render_documents_raw(d, interleaved=True)
     docs, _rejects = extract_documents(raw, presalted=True)
     return docs.select(
         "doc_id", F.posexplode("spans").alias("order", "span")

@@ -217,6 +217,120 @@ def render_text(
     return b"".join(out), len(pages)
 
 
+# ---------------------------------------------------------------------------
+# HTML rendering (round 5): the north rule's extraction tier is "HTML
+# boilerplate strip, PDF/layout parse, DOM heuristics" over an
+# INTERLEAVED corpus — so the derived corpus interleaves formats too.
+# A deterministic fraction of documents render as realistic HTML pages
+# (template chrome, nav/footer boilerplate, link-dense tag rows,
+# repeated ad slots, inline markup, entities, script/style/comment
+# decoys, and <img> media refs); the extractor must strip everything
+# but the main content and emit the same (kind, text, media_ref,
+# offset) span contract the PDF path emits. Geometry constants are
+# mirrored independently by tools/make_fixtures.py (expected_html_spans).
+# ---------------------------------------------------------------------------
+
+HTML_WORDS_PER_PARA = 30
+HTML_MEDIA_EVERY = 3  # a <figure><img> after every 3rd paragraph
+HTML_AD_EVERY = 4  # a repeated "Advertisement" div after every 4th
+
+
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _html_word(word: str, j: int) -> str:
+    """Deterministic inline markup for global word index ``j``: proves
+    inline-transparency (b/em) and in-paragraph anchors without ever
+    tripping the link-density heuristic (anchors only wrap words of
+    ≤ 8 chars, so a full paragraph's anchor mass stays far below the
+    0.66 threshold)."""
+    w = _esc_html(word)
+    if j % 11 == 3:
+        return f"<b>{w}</b>"
+    if j % 11 == 7 and len(word) <= 8:
+        return f'<a href="/w/{j}">{w}</a>'
+    if j % 13 == 5:
+        return f"<em>{w}</em>"
+    return w
+
+
+def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
+    """Deterministic HTML page for one document; returns (bytes, 1).
+
+    Main content: an <h1> title, paragraphs of ``HTML_WORDS_PER_PARA``
+    words (each prefixed ``&sect;{n}&nbsp;`` — entity decode is on the
+    hot path), a <figure> with an <img media_ref> + <figcaption> every
+    ``HTML_MEDIA_EVERY`` paragraphs, an "Advertisement" div every
+    ``HTML_AD_EVERY`` (stripped by the repeated-line heuristic once it
+    occurs ≥ 3 times). Boilerplate the extractor must strip: header/
+    nav/aside/footer chrome, a link-dense tags row, script/style/
+    comment decoys containing tag- and PDF-operator-shaped text.
+    Inline markup only appears in full-length paragraphs (see
+    _html_word)."""
+    words = (text or "").split()
+    paras = [
+        words[i : i + HTML_WORDS_PER_PARA]
+        for i in range(0, len(words), HTML_WORDS_PER_PARA)
+    ]
+    out: list[str] = [
+        "<!DOCTYPE html>\n"
+        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f"<title>Document {_esc_html(doc_id)}</title>\n"
+        "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
+        '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
+        ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
+        "</head>\n<body>\n"
+        '<header><h1><a href="/">Acme Insurance Portal</a></h1>\n'
+        '<nav><ul><li><a href="/quotes">Quotes</a></li><li><a href="/claims">Claims</a></li>'
+        '<li><a href="/support">Support</a></li></ul></nav>\n'
+        "</header>\n"
+        f"<!-- build {_esc_html(doc_id)}: <div>ghost block</div> -->\n"
+        "<main>\n"
+        f"<h1>Document {_esc_html(doc_id)}</h1>\n"
+    ]
+    for i, chunk in enumerate(paras):
+        full = len(chunk) == HTML_WORDS_PER_PARA
+        base = i * HTML_WORDS_PER_PARA
+        body = " ".join(
+            _html_word(w, base + j) if full else _esc_html(w) for j, w in enumerate(chunk)
+        )
+        out.append(f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n')
+        if (i + 1) % HTML_MEDIA_EVERY == 0:
+            k = (i + 1) // HTML_MEDIA_EVERY - 1
+            out.append(
+                f'<figure><img src="media:{_esc_html(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
+            )
+        if (i + 1) % HTML_AD_EVERY == 0:
+            out.append('<div class="ad">Advertisement</div>\n')
+    out.append(
+        '<p class="tags"><a href="/t/auto">auto</a> <a href="/t/home">home</a>'
+        ' <a href="/t/life">life</a></p>\n'
+        "</main>\n"
+        '<aside><h2>Related</h2><ul><li><a href="/r/1">Related article one</a></li>'
+        '<li><a href="/r/2">Related article two</a></li></ul></aside>\n'
+        "<footer><p>&copy; 2026 Acme Insurance Co &middot;"
+        ' <a href="/privacy">Privacy</a> &middot; <a href="/terms">Terms</a></p></footer>\n'
+        "</body>\n</html>\n"
+    )
+    return "".join(out).encode("utf-8"), 1
+
+
+# Deterministic per-doc FORMAT pick for the interleaved corpus
+# (independent md5 bits from the filter/structure/encoding picks): one
+# third of documents render as HTML, the rest as PDF content streams
+# drawn from the full filter × structure × font-encoding matrix.
+FORMAT_MIX = ("pdf", "pdf", "html")
+
+
+def format_for_doc(doc_id: str) -> str:
+    import hashlib
+
+    h = int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[16:20], 16)
+    return FORMAT_MIX[h % len(FORMAT_MIX)]
+
+
 @F.pandas_udf(RENDERED)
 def _render_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     contents, n_pages = [], []
@@ -308,6 +422,28 @@ def _render_full_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"content": contents, "n_pages": n_pages})
 
 
+@F.pandas_udf(RENDERED)
+def _render_interleaved_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Interleaved-format corpus: per-doc md5 bits pick HTML or the
+    full PDF matrix (filters × structure × font encoding)."""
+    contents, n_pages = [], []
+    for d, t in zip(doc_id, text):
+        ds = str(d)
+        if format_for_doc(ds) == "html":
+            c, n = render_html(ds, t)
+        else:
+            c, n = render_text(
+                ds,
+                t,
+                filters=filters_for_doc(ds),
+                structure=structure_for_doc(ds),
+                encoding=encoding_for_doc(ds),
+            )
+        contents.append(c)
+        n_pages.append(n)
+    return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
 # Rendering IS a pure function of (doc_id, text); asNondeterministic()
 # only withdraws Catalyst's license to DUPLICATE the call — without it,
 # pushing the pipeline's validity filters (which reference rendered
@@ -318,6 +454,7 @@ def _render_full_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
 render_udf = _render_udf.asNondeterministic()
 render_mixed_udf = _render_mixed_udf.asNondeterministic()
 render_full_udf = _render_full_udf.asNondeterministic()
+render_interleaved_udf = _render_interleaved_udf.asNondeterministic()
 
 
 def render_documents_raw(
@@ -325,6 +462,7 @@ def render_documents_raw(
     partitions: int | None = None,
     mixed_filters: bool = False,
     encoded: bool = False,
+    interleaved: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → documents_raw for the pipeline.
 
@@ -347,8 +485,14 @@ def render_documents_raw(
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     documents = documents.repartition(n_part, F.xxhash64(F.col("doc_id").cast("string")))
     # encoded=True adds the per-doc font-encoding dimension ON TOP of
-    # the filter/structure mix (the full real-world matrix)
-    udf = render_full_udf if encoded else (render_mixed_udf if mixed_filters else render_udf)
+    # the filter/structure mix (the full real-world matrix);
+    # interleaved=True additionally mixes FORMATS — a third of the
+    # corpus renders as HTML pages (format_for_doc), the rest as the
+    # full PDF matrix
+    if interleaved:
+        udf = render_interleaved_udf
+    else:
+        udf = render_full_udf if encoded else (render_mixed_udf if mixed_filters else render_udf)
     r = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         udf(F.col("doc_id").cast("string"), F.col("text")).alias("r"),

@@ -281,6 +281,166 @@ def expected_spans(
     return spans
 
 
+# --- HTML mirror (independent reimplementation of the renderer's HTML
+# template geometry — round 5 interleaved-format corpus). Byte-identity
+# with sources/render.render_html is pinned by tests/test_html.py; the
+# repeated-line rule comes from oracle.normalize_line, and the
+# link-density drop is mirrored structurally (the tags row is the only
+# main-content block the renderer builds above the threshold).
+# ---------------------------------------------------------------------------
+
+_HTML_WORDS_PER_PARA = 30
+_HTML_MEDIA_EVERY = 3
+_HTML_AD_EVERY = 4
+_HTML_REPEAT_MIN = 3
+
+
+def _esc_h(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _fx_html_word(word: str, j: int) -> str:
+    w = _esc_h(word)
+    if j % 11 == 3:
+        return f"<b>{w}</b>"
+    if j % 11 == 7 and len(word) <= 8:
+        return f'<a href="/w/{j}">{w}</a>'
+    if j % 13 == 5:
+        return f"<em>{w}</em>"
+    return w
+
+
+def expected_html_spans(
+    doc_id: str, text: str
+) -> list[tuple[str, str | None, str | None, int]]:
+    """(kind, text, media_ref, offset) sequence for one HTML-rendered
+    document: rebuild the page byte-by-byte, record each main-content
+    block's first-content-byte offset and each <img>'s '<' offset, then
+    apply the repeated-line frequency rule over the surviving blocks."""
+    words = (text or "").split()
+    paras = [
+        words[i : i + _HTML_WORDS_PER_PARA]
+        for i in range(0, len(words), _HTML_WORDS_PER_PARA)
+    ]
+    out = bytearray()
+    out += (
+        "<!DOCTYPE html>\n"
+        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f"<title>Document {_esc_h(doc_id)}</title>\n"
+        "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
+        '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
+        ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
+        "</head>\n<body>\n"
+        '<header><h1><a href="/">Acme Insurance Portal</a></h1>\n'
+        '<nav><ul><li><a href="/quotes">Quotes</a></li><li><a href="/claims">Claims</a></li>'
+        '<li><a href="/support">Support</a></li></ul></nav>\n'
+        "</header>\n"
+        f"<!-- build {_esc_h(doc_id)}: <div>ghost block</div> -->\n"
+        "<main>\n"
+    ).encode("utf-8")
+
+    blocks: list[tuple[int, str]] = []  # (offset, collapsed text) pre-frequency
+    media: list[tuple[str, int]] = []
+
+    h1 = f"<h1>Document {_esc_h(doc_id)}</h1>\n"
+    blocks.append((len(out) + len("<h1>"), f"Document {doc_id}"))
+    out += h1.encode("utf-8")
+
+    for i, chunk in enumerate(paras):
+        full = len(chunk) == _HTML_WORDS_PER_PARA
+        base = i * _HTML_WORDS_PER_PARA
+        body = " ".join(
+            _fx_html_word(w, base + j) if full else _esc_h(w) for j, w in enumerate(chunk)
+        )
+        open_tag = f'<p id="para-{i}">'
+        blocks.append((len(out) + len(open_tag), f"§{i + 1} " + " ".join(chunk)))
+        out += f"{open_tag}&sect;{i + 1}&nbsp;{body}</p>\n".encode("utf-8")
+        if (i + 1) % _HTML_MEDIA_EVERY == 0:
+            k = (i + 1) // _HTML_MEDIA_EVERY - 1
+            fig = (
+                f'<figure><img src="media:{_esc_h(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
+            )
+            media.append((f"media:{doc_id}/{k}", len(out) + len("<figure>")))
+            cap_off = len(out) + fig.index("<figcaption>") + len("<figcaption>")
+            blocks.append((cap_off, f"Exhibit {k} — claims chart"))
+            out += fig.encode("utf-8")
+        if (i + 1) % _HTML_AD_EVERY == 0:
+            ad = '<div class="ad">Advertisement</div>\n'
+            blocks.append((len(out) + len('<div class="ad">'), "Advertisement"))
+            out += ad.encode("utf-8")
+    # the tags row is link-dense (dropped by the density heuristic) and
+    # the aside/footer chrome is structurally stripped: none of the
+    # trailing template emits spans, so its bytes shift no offsets
+    # already recorded.
+
+    counts: dict[str, int] = {}
+    keys = [oracle.normalize_line(t) for _off, t in blocks]
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    spans: list[tuple[str, str | None, str | None, int]] = [
+        ("text", t, None, off)
+        for (off, t), k in zip(blocks, keys)
+        if counts[k] < _HTML_REPEAT_MIN
+    ]
+    spans += [("media", None, ref, off) for ref, off in media]
+    spans.sort(key=lambda s: s[3])
+    return spans
+
+
+def fx_html_bytes(doc_id: str, text: str) -> bytes:
+    """Full byte mirror of render_html (for the byte-identity test —
+    includes the span-free trailing template)."""
+    words = (text or "").split()
+    paras = [
+        words[i : i + _HTML_WORDS_PER_PARA]
+        for i in range(0, len(words), _HTML_WORDS_PER_PARA)
+    ]
+    out = bytearray()
+    out += (
+        "<!DOCTYPE html>\n"
+        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f"<title>Document {_esc_h(doc_id)}</title>\n"
+        "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
+        '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
+        ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
+        "</head>\n<body>\n"
+        '<header><h1><a href="/">Acme Insurance Portal</a></h1>\n'
+        '<nav><ul><li><a href="/quotes">Quotes</a></li><li><a href="/claims">Claims</a></li>'
+        '<li><a href="/support">Support</a></li></ul></nav>\n'
+        "</header>\n"
+        f"<!-- build {_esc_h(doc_id)}: <div>ghost block</div> -->\n"
+        "<main>\n"
+        f"<h1>Document {_esc_h(doc_id)}</h1>\n"
+    ).encode("utf-8")
+    for i, chunk in enumerate(paras):
+        full = len(chunk) == _HTML_WORDS_PER_PARA
+        base = i * _HTML_WORDS_PER_PARA
+        body = " ".join(
+            _fx_html_word(w, base + j) if full else _esc_h(w) for j, w in enumerate(chunk)
+        )
+        out += f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n'.encode("utf-8")
+        if (i + 1) % _HTML_MEDIA_EVERY == 0:
+            k = (i + 1) // _HTML_MEDIA_EVERY - 1
+            out += (
+                f'<figure><img src="media:{_esc_h(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
+            ).encode("utf-8")
+        if (i + 1) % _HTML_AD_EVERY == 0:
+            out += b'<div class="ad">Advertisement</div>\n'
+    out += (
+        '<p class="tags"><a href="/t/auto">auto</a> <a href="/t/home">home</a>'
+        ' <a href="/t/life">life</a></p>\n'
+        "</main>\n"
+        '<aside><h2>Related</h2><ul><li><a href="/r/1">Related article one</a></li>'
+        '<li><a href="/r/2">Related article two</a></li></ul></aside>\n'
+        "<footer><p>&copy; 2026 Acme Insurance Co &middot;"
+        ' <a href="/privacy">Privacy</a> &middot; <a href="/terms">Terms</a></p></footer>\n'
+        "</body>\n</html>\n"
+    ).encode("utf-8")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # fixture builders
 # ---------------------------------------------------------------------------
@@ -302,14 +462,17 @@ def fx_extract_pipeline_spans(docs) -> pa.Table:
     # the per-doc variant PICK is shared with the renderer (like
     # default_metadata); the byte geometry each pick produces is
     # mirrored independently above
-    from insurance_pdf_extractor_spark.sources.render import encoding_for_doc
+    from insurance_pdf_extractor_spark.sources.render import encoding_for_doc, format_for_doc
 
     rows = {"doc_id": [], "order": [], "kind": [], "text": [], "media_ref": [], "offset": []}
     for doc_id, text in docs:
-        enc = encoding_for_doc(str(doc_id))
-        for order, (kind, txt, mref, off) in enumerate(
-            expected_spans(str(doc_id), text, encoding=enc)
-        ):
+        if format_for_doc(str(doc_id)) == "html":
+            doc_spans = expected_html_spans(str(doc_id), text)
+        else:
+            doc_spans = expected_spans(
+                str(doc_id), text, encoding=encoding_for_doc(str(doc_id))
+            )
+        for order, (kind, txt, mref, off) in enumerate(doc_spans):
             rows["doc_id"].append(str(doc_id))
             rows["order"].append(order)
             rows["kind"].append(kind)
