@@ -322,6 +322,19 @@ def main() -> None:
     timings["extract_from_storage_encoded_32x"] = round(storage_encoded_sec, 3)
     shutil.rmtree(rawe_dir, ignore_errors=True)
 
+    # interleaved-FORMAT production shape (round 5 second half): a
+    # deterministic third of the stored corpus is HTML pages routed
+    # through the from-scratch main-content extractor (operators/
+    # html.py); the rest is the full PDF matrix above. Same presalted
+    # scan→kernel→fields window — the delta vs the encoded row is the
+    # HTML kernel replacing the PDF interpreter on 1/3 of the docs.
+    rawi_dir = tempfile.mkdtemp(prefix="bench_rawi_") + "/raw"
+    render_documents_raw(reps, interleaved=True).write.parquet(rawi_dir)
+    stored_i = spark.read.parquet(rawi_dir)
+    storage_interleaved_sec = _best_of(extract_results(stored_i, presalted=True))
+    timings["extract_from_storage_interleaved_32x"] = round(storage_interleaved_sec, 3)
+    shutil.rmtree(rawi_dir, ignore_errors=True)
+
     # warm run (codegen compile is one-time per JVM), then best-of-2
     # timed runs: single-shot headliners showed up to 20x spikes from
     # hypervisor steal invisible to loadavg (BENCH.md variance notes)

@@ -63,6 +63,11 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from .boilerplate import norm_key
 
 # --------------------------------------------------------------------------
@@ -206,10 +211,14 @@ def sniff_format(content: bytes | None) -> str | None:
     return None
 
 
-def _parse_tag(buf: bytes, i: int) -> tuple[str, dict[str, str], bool, int]:
+def _parse_tag(
+    buf: bytes, i: int, charset: str = "utf-8"
+) -> tuple[str, dict[str, str], bool, int]:
     """Parse an open tag at ``i`` (buf[i] == '<', buf[i+1] is a
     letter). Returns (name, attrs, self_closing, end_index_after_gt).
-    On a malformed/unterminated tag, consumes to EOF."""
+    Attribute VALUES decode with the document charset (they carry
+    user content — meta descriptions, media refs); names are ASCII by
+    construction. On a malformed/unterminated tag, consumes to EOF."""
     m = _TAG_NAME_RE.match(buf, i + 1)
     name = m.group(0).decode("ascii").lower()
     p = m.end()
@@ -240,7 +249,7 @@ def _parse_tag(buf: bytes, i: int) -> tuple[str, dict[str, str], bool, int]:
         else:
             if aval[:1] in (b'"', b"'"):
                 aval = aval[1:-1]
-            attrs[aname] = aval.decode("ascii", "replace")
+            attrs[aname] = aval.decode(charset, "replace")
         p = am.end()
     return name, attrs, self_closing, n
 
@@ -359,7 +368,7 @@ def extract_html(
             i = lt + 1
             continue
 
-        name, attrs, self_closing, after = _parse_tag(buf, lt)
+        name, attrs, self_closing, after = _parse_tag(buf, lt, charset)
         i = after
 
         if name in RAW_TEXT and not self_closing:
@@ -409,3 +418,113 @@ def extract_html(
         if counts[k] < REPEAT_MIN
     ]
     return lines, media
+
+
+# --------------------------------------------------------------------------
+# <head> metadata scan — the HTML analog of the PDF /Info dict scan
+# (operators/metadata.py; reference app/services/pdf_processor.py:447-494
+# reads pypdf's reader.metadata). Walks tags from the top of the
+# document through </head> (or the first <body>), collecting <title>
+# RCDATA and the standard <meta name=…/property=…> content values with
+# the same attribute parser the extractor uses — so quoted '>'s,
+# entities in attribute values, and comment/script decoys behave
+# identically.
+# --------------------------------------------------------------------------
+
+HTML_META = T.StructType(
+    [
+        T.StructField("title", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("og_title", T.StringType(), True),
+        T.StructField("charset", T.StringType(), True),
+    ]
+)
+
+_META_KEYS = {"author": "author", "description": "description"}
+_META_PROPS = {"og:title": "og_title"}
+
+
+def parse_html_meta(content: bytes | None) -> dict[str, str | None]:
+    out: dict[str, str | None] = {
+        "title": None,
+        "author": None,
+        "description": None,
+        "og_title": None,
+        "charset": None,
+    }
+    if not content or sniff_format(content) != "html":
+        return out
+    buf = bytes(content)
+    n = len(buf)
+    charset = detect_charset(buf)
+    out["charset"] = charset
+
+    def clean(s: str) -> str:
+        return " ".join(decode_entities(s).split())
+
+    i = 0
+    while i < n:
+        lt = buf.find(b"<", i)
+        if lt < 0 or lt + 1 >= n:
+            break
+        c = buf[lt + 1]
+        if c == 0x21:
+            if buf.startswith(b"<!--", lt):
+                end = buf.find(b"-->", lt + 4)
+                i = n if end < 0 else end + 3
+            else:
+                end = buf.find(b">", lt + 2)
+                i = n if end < 0 else end + 1
+            continue
+        if c in (0x3F, 0x2F):  # PI / closing tag
+            m = _TAG_NAME_RE.match(buf, lt + 2) if c == 0x2F else None
+            end = buf.find(b">", lt + 2)
+            i = n if end < 0 else end + 1
+            if m and m.group(0).decode("ascii").lower() == "head":
+                break
+            continue
+        if not (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A):
+            i = lt + 1
+            continue
+        name, attrs, self_closing, after = _parse_tag(buf, lt, charset)
+        i = after
+        if name == "body":
+            break
+        if name == "title" and not self_closing:
+            close = re.compile(rb"</title[\s>]", re.I)
+            m = close.search(buf, after)
+            end = m.start() if m else n
+            if out["title"] is None:
+                out["title"] = clean(buf[after:end].decode(charset, "replace"))
+            i = end
+            continue
+        if name in RAW_TEXT and not self_closing:
+            close = re.compile(rb"</" + name.encode() + rb"[\s>]", re.I)
+            m = close.search(buf, after)
+            if m is None:
+                i = n
+            else:
+                end = buf.find(b">", m.start() + 2)
+                i = n if end < 0 else end + 1
+            continue
+        if name == "meta":
+            key = _META_KEYS.get(attrs.get("name", "").lower()) or _META_PROPS.get(
+                attrs.get("property", "").lower()
+            )
+            if key and out[key] is None and "content" in attrs:
+                out[key] = clean(attrs["content"])
+    return out
+
+
+@F.pandas_udf(HTML_META)
+def html_meta_udf(content: pd.Series) -> pd.DataFrame:
+    rows = [parse_html_meta(None if c is None else bytes(c)) for c in content]
+    return pd.DataFrame(rows, columns=[f.name for f in HTML_META.fields])
+
+
+def scan_html_meta(raw: DataFrame) -> DataFrame:
+    """documents_raw(doc_id, content, …) → (doc_id, meta struct). The
+    scan reads only (doc_id, content) — column pruning keeps any other
+    width out of the exchange-free map plan."""
+    return raw.select("doc_id", html_meta_udf("content").alias("meta"))

@@ -1937,7 +1937,8 @@ def q_windowed_metrics(spark, sf_dir):
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw
       FROM documents WHERE text IS NOT NULL
     )
-    SELECT doc_id,
+    SELECT 'pdf' AS src,
+           doc_id,
            CAST(ceil(greatest(ceil(nw / 10.0), 1) / 18.0) AS INT) AS num_pages,
            'Document ' || CAST(doc_id AS VARCHAR) AS title,
            'Author ' || CAST(doc_id AS VARCHAR) AS author,
@@ -1945,7 +1946,26 @@ def q_windowed_metrics(spark, sf_dir):
            'spark-graft renderer' AS creator,
            'content-stream-writer 0.1.0' AS producer,
            'D:20240115103000' AS creation_date,
-           'D:20240116090000' AS modification_date
+           'D:20240116090000' AS modification_date,
+           CAST(NULL AS VARCHAR) AS description,
+           CAST(NULL AS VARCHAR) AS og_title,
+           CAST(NULL AS VARCHAR) AS charset
+    FROM g
+    UNION ALL
+    SELECT 'html' AS src,
+           doc_id,
+           CAST(NULL AS INT) AS num_pages,
+           'Document ' || CAST(doc_id AS VARCHAR) AS title,
+           'Author ' || CAST(doc_id AS VARCHAR) AS author,
+           CAST(NULL AS VARCHAR) AS subject,
+           CAST(NULL AS VARCHAR) AS creator,
+           CAST(NULL AS VARCHAR) AS producer,
+           CAST(NULL AS VARCHAR) AS creation_date,
+           CAST(NULL AS VARCHAR) AS modification_date,
+           'Insurance quote ' || CAST(doc_id AS VARCHAR) || ' — '
+             || CAST(nw AS VARCHAR) || ' words' AS description,
+           'Document ' || CAST(doc_id AS VARCHAR) AS og_title,
+           'utf-8' AS charset
     FROM g
     """,
 )
@@ -1953,14 +1973,24 @@ def q_pdf_metadata(spark, sf_dir):
     # null-text guard on both sides; the oracle's DuckDB word count (RE2
     # \s, space-only trim) matches Python str.split() for the testdata's
     # ASCII whitespace — exotic unicode separators near a 180-word page
-    # boundary would need the oracle's split class widened
+    # boundary would need the oracle's split class widened.
+    #
+    # r5 second half: union-tagged with src='html' — the SAME documents
+    # rendered as HTML pages and scanned by the <head> metadata kernel
+    # (operators/html.py:scan_html_meta — <title> RCDATA, meta
+    # name/property content values through the real attribute parser
+    # with entity decode: the description carries an &mdash;). The two
+    # scans are the format-dispatched metadata surface of the engine.
+    from .operators.html import scan_html_meta
     from .operators.metadata import scan_pdf_info
     from .sources.render import render_documents_raw
 
     d = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     raw = render_documents_raw(d)
     info = scan_pdf_info(raw)
-    return info.select(
+    null_s = F.lit(None).cast("string")
+    pdf = info.select(
+        F.lit("pdf").alias("src"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("info.num_pages").alias("num_pages"),
         F.col("info.title").alias("title"),
@@ -1970,7 +2000,27 @@ def q_pdf_metadata(spark, sf_dir):
         F.col("info.producer").alias("producer"),
         F.col("info.creation_date").alias("creation_date"),
         F.col("info.modification_date").alias("modification_date"),
+        null_s.alias("description"),
+        null_s.alias("og_title"),
+        null_s.alias("charset"),
     )
+    hraw = render_documents_raw(d, html_only=True)
+    html = scan_html_meta(hraw).select(
+        F.lit("html").alias("src"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("num_pages"),
+        F.col("meta.title").alias("title"),
+        F.col("meta.author").alias("author"),
+        null_s.alias("subject"),
+        null_s.alias("creator"),
+        null_s.alias("producer"),
+        null_s.alias("creation_date"),
+        null_s.alias("modification_date"),
+        F.col("meta.description").alias("description"),
+        F.col("meta.og_title").alias("og_title"),
+        F.col("meta.charset").alias("charset"),
+    )
+    return pdf.unionByName(html)
 
 
 

@@ -277,6 +277,10 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
         "<!DOCTYPE html>\n"
         '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
         f"<title>Document {_esc_html(doc_id)}</title>\n"
+        f'<meta name="author" content="Author {_esc_html(doc_id)}">\n'
+        f'<meta name="description" content="Insurance quote {_esc_html(doc_id)}'
+        f' &mdash; {len(words)} words">\n'
+        f'<meta property="og:title" content="Document {_esc_html(doc_id)}">\n'
         "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
         '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
         ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
@@ -423,6 +427,17 @@ def _render_full_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(RENDERED)
+def _render_html_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Every document as an HTML page (the html-metadata gate's corpus)."""
+    contents, n_pages = [], []
+    for d, t in zip(doc_id, text):
+        c, n = render_html(str(d), t)
+        contents.append(c)
+        n_pages.append(n)
+    return pd.DataFrame({"content": contents, "n_pages": n_pages})
+
+
+@F.pandas_udf(RENDERED)
 def _render_interleaved_udf(doc_id: pd.Series, text: pd.Series) -> pd.DataFrame:
     """Interleaved-format corpus: per-doc md5 bits pick HTML or the
     full PDF matrix (filters × structure × font encoding)."""
@@ -455,6 +470,7 @@ render_udf = _render_udf.asNondeterministic()
 render_mixed_udf = _render_mixed_udf.asNondeterministic()
 render_full_udf = _render_full_udf.asNondeterministic()
 render_interleaved_udf = _render_interleaved_udf.asNondeterministic()
+render_html_udf = _render_html_udf.asNondeterministic()
 
 
 def render_documents_raw(
@@ -463,6 +479,7 @@ def render_documents_raw(
     mixed_filters: bool = False,
     encoded: bool = False,
     interleaved: bool = False,
+    html_only: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → documents_raw for the pipeline.
 
@@ -491,6 +508,8 @@ def render_documents_raw(
     # full PDF matrix
     if interleaved:
         udf = render_interleaved_udf
+    elif html_only:
+        udf = render_html_udf
     else:
         udf = render_full_udf if encoded else (render_mixed_udf if mixed_filters else render_udf)
     r = documents.select(

@@ -228,6 +228,58 @@ def test_sniff_format():
 
 
 # ---------------------------------------------------------------------------
+# <head> metadata scan
+# ---------------------------------------------------------------------------
+
+
+def test_parse_html_meta():
+    from insurance_pdf_extractor_spark.operators.html import parse_html_meta
+
+    b = (
+        b"<!DOCTYPE html><html><head>\n"
+        b'<meta charset="utf-8">\n'
+        b"<!-- <title>ghost</title> -->\n"
+        b"<title>Real &amp; True</title>\n"
+        b'<meta name="AUTHOR" content="Jo &lt;dev&gt;">\n'
+        b'<meta name="description" content="a &mdash; b">\n'
+        b'<meta property="og:title" content="OG title">\n'
+        b"<script>document.title = '<title>js</title>';</script>\n"
+        b"</head><body><title>late</title></body></html>"
+    )
+    m = parse_html_meta(b)
+    assert m["title"] == "Real & True"  # first title wins, comment skipped
+    assert m["author"] == "Jo <dev>"  # attr names case-insensitive, entities decoded
+    assert m["description"] == "a — b"
+    assert m["og_title"] == "OG title"
+    assert m["charset"] == "utf-8"
+
+
+def test_parse_html_meta_stops_at_body_and_handles_garbage():
+    from insurance_pdf_extractor_spark.operators.html import parse_html_meta
+
+    b = b'<html><body><meta name="description" content="not head">'
+    assert parse_html_meta(b)["description"] is None
+    assert parse_html_meta(b"%PDF-1.4")["title"] is None
+    assert parse_html_meta(None)["title"] is None
+    assert parse_html_meta(b"<html><head><title>never closed")["title"] == "never closed"
+
+
+def test_scan_html_meta_spark(spark):
+    from insurance_pdf_extractor_spark.operators.html import scan_html_meta
+    from insurance_pdf_extractor_spark.sources.render import render_documents_raw
+
+    docs = spark.createDataFrame(
+        [("md-1", "alpha beta gamma"), ("md-2", "")], "doc_id string, text string"
+    )
+    raw = render_documents_raw(docs, html_only=True)
+    got = {r["doc_id"]: r["meta"].asDict() for r in scan_html_meta(raw).collect()}
+    assert got["md-1"]["title"] == "Document md-1"
+    assert got["md-1"]["description"] == "Insurance quote md-1 — 3 words"
+    assert got["md-2"]["description"] == "Insurance quote md-2 — 0 words"
+    assert got["md-1"]["author"] == "Author md-1"
+
+
+# ---------------------------------------------------------------------------
 # hostile inputs
 # ---------------------------------------------------------------------------
 
@@ -252,6 +304,9 @@ def test_hostile_mutation_sweep():
         assert isinstance(lines, list) and isinstance(media, list)
         for _pg, off, t in lines:
             assert 0 <= off < len(b) and isinstance(t, str)
+        from insurance_pdf_extractor_spark.operators.html import parse_html_meta
+
+        assert isinstance(parse_html_meta(bytes(b)), dict)
 
 
 def test_hostile_bombs():

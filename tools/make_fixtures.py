@@ -327,6 +327,10 @@ def expected_html_spans(
         "<!DOCTYPE html>\n"
         '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
         f"<title>Document {_esc_h(doc_id)}</title>\n"
+        f'<meta name="author" content="Author {_esc_h(doc_id)}">\n'
+        f'<meta name="description" content="Insurance quote {_esc_h(doc_id)}'
+        f' &mdash; {len(words)} words">\n'
+        f'<meta property="og:title" content="Document {_esc_h(doc_id)}">\n'
         "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
         '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
         ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
@@ -401,6 +405,10 @@ def fx_html_bytes(doc_id: str, text: str) -> bytes:
         "<!DOCTYPE html>\n"
         '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
         f"<title>Document {_esc_h(doc_id)}</title>\n"
+        f'<meta name="author" content="Author {_esc_h(doc_id)}">\n'
+        f'<meta name="description" content="Insurance quote {_esc_h(doc_id)}'
+        f' &mdash; {len(words)} words">\n'
+        f'<meta property="og:title" content="Document {_esc_h(doc_id)}">\n'
         "<style>\nbody { font: 14px/1.4 serif; }\n/* decoy: <p>styled</p> (x) Tj */\n</style>\n"
         '<script type="text/javascript">\nvar decoy = "<p>not content</p>";'
         ' if (2 < 3 && 4 > 1) { render("BT (x) Tj ET"); }\n</script>\n'
