@@ -154,6 +154,56 @@ def test_extract_pipeline_storage_plan_shape(spark, tmp_path):
     assert no_content, f"reject branch scan reads content bytes:\n{read_lines}"
 
 
+def test_html_meta_scan_is_map_only(spark):
+    """The HTML <head> metadata scan rides the scan: one Arrow kernel,
+    zero exchanges — at corpus scale it must stay a pure map over the
+    (doc_id, content) projection."""
+    from insurance_pdf_extractor_spark.operators.html import scan_html_meta
+    from insurance_pdf_extractor_spark.sources.render import render_documents_raw
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw = render_documents_raw(docs, html_only=True, partitions=4)
+    plan = _plan(spark, scan_html_meta(raw))
+    assert "BatchEvalPython" not in plan
+    # one exchange NODE total: the render path's deliberate pre-UDF
+    # salt spread; the metadata scan itself adds none on top (the
+    # formatted plan mentions each node twice — tree + details — so
+    # count the numbered node entries)
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+    assert n_exchanges <= 1, plan
+
+
+def test_interleaved_storage_routes_html_around_shard_path(spark, tmp_path):
+    """Interleaved-format production shape: the oversized (shard)
+    branch must be PDF-only — its parquet scan carries the pushed
+    magic equality alongside the size threshold, so a giant HTML page
+    can never enter the %%PAGE shard machinery — and the reject branch
+    stays metadata-width (magic-prefix classification) with HTML
+    magics accepted."""
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_results
+    from insurance_pdf_extractor_spark.sources.render import render_documents_raw
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    raw_dir = str(tmp_path / "rawi")
+    render_documents_raw(docs, interleaved=True).write.parquet(raw_dir)
+    stored = spark.read.parquet(raw_dir)
+
+    plan = _plan(spark, extract_results(stored))
+    assert "BatchEvalPython" not in plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    # oversized branch: size threshold AND the PDF magic both pushed
+    assert "GreaterThan(size_bytes" in pushed, pushed
+    assert "EqualTo(magic," in pushed, pushed
+    # reject branch: metadata-width scan (no content column)
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert [l for l in read_lines if "content" not in l], read_lines
+    # and the interleaved corpus produces zero rejects end-to-end
+    res = extract_results(stored)
+    assert res.filter(res.status == "error").count() == 0
+
+
 def test_render_path_renders_once_per_branch(spark):
     """render_udf is marked nondeterministic so filter pushdown cannot
     duplicate it — the plan historically evaluated the render kernel
