@@ -85,6 +85,10 @@ BLOCK_TAGS = frozenset(
     details summary center caption""".split()
 )
 STRIP_CONTAINERS = frozenset(("nav", "header", "footer", "aside"))
+# elements whose src attribute is a media reference → media spans
+# (the interleaved corpus's media_ref passthrough; video/audio may
+# carry src directly or via child <source> elements)
+MEDIA_SRC_TAGS = frozenset(("img", "video", "audio", "source", "embed"))
 # RCDATA / raw-text / non-content elements: skip wholesale to the
 # matching close tag (first close wins, per the HTML5 tokenizer)
 RAW_TEXT = frozenset(("script", "style", "noscript", "template", "textarea", "title", "svg", "math"))
@@ -391,7 +395,7 @@ def extract_html(
         elif name == "a":
             if not self_closing:
                 anchor_depth += 1
-        elif name == "img":
+        elif name in MEDIA_SRC_TAGS:
             if strip_depth == 0:
                 src = attrs.get("src")
                 if src:

@@ -302,8 +302,21 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
         out.append(f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n')
         if (i + 1) % HTML_MEDIA_EVERY == 0:
             k = (i + 1) // HTML_MEDIA_EVERY - 1
+            import hashlib as _hl
+
+            ref = f"media:{_esc_html(doc_id)}/{k}"
+            # alternate media ELEMENT kinds so img/video/audio+source
+            # all appear across any non-trivial corpus; salted with
+            # doc identity so single-figure documents still vary
+            kk = k + int(_hl.md5(doc_id.encode("utf-8")).hexdigest()[20:22], 16)
+            if kk % 3 == 0:
+                mtag = f'<img src="{ref}" alt="exhibit {k}">'
+            elif kk % 3 == 1:
+                mtag = f'<video src="{ref}" controls></video>'
+            else:
+                mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
             out.append(
-                f'<figure><img src="media:{_esc_html(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figure>{mtag}"
                 f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
             )
         if (i + 1) % HTML_AD_EVERY == 0:

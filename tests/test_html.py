@@ -204,6 +204,23 @@ def test_img_src_entity_decoded():
     assert media[0][0] == "media:d/a&b"
 
 
+def test_video_audio_source_embed_media_refs():
+    b = _doc(
+        '<video src="media:d/v" controls></video>'
+        '<audio controls><source src="media:d/a" type="audio/mpeg"></audio>'
+        '<embed src="media:d/e">'
+        "<p>text</p>"
+    )
+    lines, media = extract_html(b)
+    assert [m[0] for m in media] == ["media:d/v", "media:d/a", "media:d/e"]
+    assert media[0][1] == b.index(b"<video")
+    assert media[1][1] == b.index(b"<source")
+    assert texts(lines) == ["text"]
+    # src-less <video> with a nav-wrapped source stays silent
+    _, media = extract_html(_doc('<nav><video src="media:d/nav"></video></nav>'))
+    assert media == []
+
+
 # ---------------------------------------------------------------------------
 # charset
 # ---------------------------------------------------------------------------
@@ -458,6 +475,51 @@ def test_oversized_html_stays_in_fused_kernel(spark):
     assert len(spans) > 50
     expected = _expected_for(big_id, big_text)
     assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] == expected
+
+
+def test_field_extraction_equal_across_formats(spark):
+    """End-to-end format independence: the SAME logical document —
+    its post-boilerplate content lines — rendered once as a PDF
+    content stream (the corpus generator's native shape) and once as
+    an HTML page (one <p> per line), must extract the IDENTICAL field
+    record, status, and validation outcome through extract_results.
+    The scrape/validate/normalize stages see only span text, so any
+    divergence would mean the HTML block reconstruction changed line
+    content or order."""
+    from insurance_pdf_extractor_spark.constants import FIELD_NAMES
+    from insurance_pdf_extractor_spark.corpus import generate_corpus, to_raw_df
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_results
+
+    docs = [
+        d
+        for d in generate_corpus(40, seed=13)
+        if d.status != "error" and d.expected_spans is not None
+    ][:25]
+
+    def esc(s):
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    html_rows = []
+    for d in docs:
+        body = "".join(
+            f"<p>{esc(s['text'])}</p>\n"
+            for s in d.expected_spans
+            if s["kind"] == "text" and s["text"]
+        )
+        content = f"<!DOCTYPE html>\n<html><head><title>{d.doc_id}</title></head><body>\n{body}</body></html>\n".encode()
+        media = [(m["media_ref"], m["offset"]) for m in d.media] if d.media else []
+        html_rows.append((d.doc_id, bytearray(content), media, 1, len(content)))
+    from insurance_pdf_extractor_spark.schema import DOCUMENTS_RAW
+
+    pdf_res = extract_results(to_raw_df(spark, docs))
+    html_res = extract_results(spark.createDataFrame(html_rows, schema=DOCUMENTS_RAW))
+
+    cols = ["doc_id", "status"] + list(FIELD_NAMES)
+    pdf = {r["doc_id"]: tuple(str(r[c]) for c in cols) for r in pdf_res.select(*cols).collect()}
+    html = {r["doc_id"]: tuple(str(r[c]) for c in cols) for r in html_res.select(*cols).collect()}
+    assert set(pdf) == set(html)
+    for doc_id in pdf:
+        assert pdf[doc_id] == html[doc_id], f"field divergence on {doc_id}"
 
 
 def test_classify_rejects_accepts_html_magic(spark):

@@ -361,11 +361,22 @@ def expected_html_spans(
         out += f"{open_tag}&sect;{i + 1}&nbsp;{body}</p>\n".encode("utf-8")
         if (i + 1) % _HTML_MEDIA_EVERY == 0:
             k = (i + 1) // _HTML_MEDIA_EVERY - 1
+            ref = f"media:{_esc_h(doc_id)}/{k}"
+            kk = k + int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[20:22], 16)
+            if kk % 3 == 0:
+                mtag = f'<img src="{ref}" alt="exhibit {k}">'
+                m_off = len("<figure>")  # the <img byte
+            elif kk % 3 == 1:
+                mtag = f'<video src="{ref}" controls></video>'
+                m_off = len("<figure>")  # the <video byte
+            else:
+                mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
+                m_off = len("<figure><audio controls>")  # the <source byte
             fig = (
-                f'<figure><img src="media:{_esc_h(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figure>{mtag}"
                 f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
             )
-            media.append((f"media:{doc_id}/{k}", len(out) + len("<figure>")))
+            media.append((f"media:{doc_id}/{k}", len(out) + m_off))
             cap_off = len(out) + fig.index("<figcaption>") + len("<figcaption>")
             blocks.append((cap_off, f"Exhibit {k} — claims chart"))
             out += fig.encode("utf-8")
@@ -430,8 +441,16 @@ def fx_html_bytes(doc_id: str, text: str) -> bytes:
         out += f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n'.encode("utf-8")
         if (i + 1) % _HTML_MEDIA_EVERY == 0:
             k = (i + 1) // _HTML_MEDIA_EVERY - 1
+            ref = f"media:{_esc_h(doc_id)}/{k}"
+            kk = k + int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[20:22], 16)
+            if kk % 3 == 0:
+                mtag = f'<img src="{ref}" alt="exhibit {k}">'
+            elif kk % 3 == 1:
+                mtag = f'<video src="{ref}" controls></video>'
+            else:
+                mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
             out += (
-                f'<figure><img src="media:{_esc_h(doc_id)}/{k}" alt="exhibit {k}">'
+                f"<figure>{mtag}"
                 f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
             ).encode("utf-8")
         if (i + 1) % _HTML_AD_EVERY == 0:
