@@ -9,13 +9,24 @@ opaque bytes end-to-end (app/services/pdf_generator.py embeds, never
 decodes); decode capability is this repo's training-data extension.
 
 Scope (honest, loudly enforced):
-- baseline sequential DCT, 8-bit precision (SOF0) — progressive
-  (SOF2), arithmetic coding (SOF9+), 12-bit and hierarchical modes
+- baseline sequential DCT, 8-bit precision (SOF0) AND — round 5,
+  second half — PROGRESSIVE (SOF2) per T.81 Annex G: multi-scan
+  spectral selection + successive approximation, interleaved DC
+  scans, non-interleaved AC scans with EOB runs, DC/AC refinement
+  scans, restart intervals inside any scan. The progressive decoder
+  transcribes the public jdphuff algorithms (refinement correction
+  bits, EOBRUN semantics) onto per-component coefficient grids;
+  arithmetic coding (SOF9+), 12-bit and hierarchical modes still
   raise ``NotImplementedError`` with the marker name;
 - 1 component (grayscale) or 3 components (YCbCr), sampling factors
   1 or 2 per axis (covers 4:4:4, 4:2:2, 4:2:0); restart intervals
   (DRI/RSTn) supported in both directions;
-- multi-scan (one SOS per image only) and DNL are out of scope.
+- DNL is out of scope. ``encode_jpeg_progressive`` emits a
+  libjpeg-shaped scan script over flat canonical Huffman tables
+  (progressive AC needs EOBn symbols the Annex K tables lack);
+  its coefficients are IDENTICAL to ``encode_jpeg``'s at the same
+  settings, so progressive and baseline decodes of one image are
+  bit-equal — the cross-check the tests pin.
 
 Determinism contract — the property every other codec here honors
 ("sha1 pins the encoders byte-for-byte", fixture oracle reproduces
@@ -488,6 +499,295 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder (round 5, second half) -----------------------
+#
+# T.81 Annex G spectral-selection + successive-approximation coding.
+# Huffman tables are FLAT canonical tables containing every symbol
+# (DC: 15 codes at 4 bits + 1 at 5; AC: 255 at 9 bits + 1 at 10) —
+# progressive AC scans need EOBn symbols (r<<4|0, r=1..14) that the
+# Annex K example tables lack, and a flat table sidesteps per-scan
+# Huffman optimization while remaining fully spec-canonical (the
+# all-ones code of each length stays unused, C.2). Compression is
+# deliberately not the point; byte-determinism and decoder coverage
+# are.
+
+_FLAT_DC = ([0, 0, 0, 0, 15, 1] + [0] * 11, list(range(16)))
+_FLAT_AC = ([0] * 9 + [255, 1] + [0] * 6, list(range(255)) + [255])
+
+
+def _default_scan_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """(comp_indices, Ss, Se, Ah, Al) per scan — the libjpeg-shaped
+    default: coarse DC + coarse AC first scans, then refinements."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _emit_eobrun(bw: _BitWriter, ac_codes, state: dict) -> None:
+    """Flush the accumulated end-of-band run + buffered correction
+    bits (jcphuff emit_eobrun)."""
+    if state["eobrun"] > 0:
+        r = state["eobrun"].bit_length() - 1
+        code, length = ac_codes[r << 4]
+        bw.write(code, length)
+        if r:
+            bw.write(state["eobrun"] - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["be"]:
+        bw.write(bit, 1)
+    state["be"] = []
+
+
+def _enc_block_dc_first(bw, zz, pred, al, dc_codes) -> int:
+    v = int(zz[0]) >> al  # DC point transform is an ARITHMETIC shift
+    diff = v - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _enc_block_dc_refine(bw, zz, al) -> None:
+    bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _enc_block_ac_first(bw, zz, ss, se, al, ac_codes, state) -> None:
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        # AC point transform truncates MAGNITUDE toward zero (G.1.2.2)
+        v = -((-v) >> al) if v < 0 else v >> al
+        if v == 0:
+            run += 1
+            continue
+        if not wrote:
+            _emit_eobrun(bw, ac_codes, state)
+            wrote = True
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = ac_codes[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, state)
+
+
+def _enc_block_ac_refine(bw, zz, ss, se, al, ac_codes, state) -> None:
+    """jcphuff encode_mcu_AC_refine: r counts zero-history positions,
+    correction bits for already-significant coefs buffer until the next
+    emitted symbol (or fold into the EOB run)."""
+    absval = [0] * 64
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absval[k] = t
+        if t:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absval[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(bw, ac_codes, state)
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_codes, state)
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["be"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+            _emit_eobrun(bw, ac_codes, state)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB or (h, w) grayscale as a PROGRESSIVE
+    (SOF2) JPEG. Coefficients are identical to :func:`encode_jpeg` at
+    the same quality/subsampling, so decoding both must yield
+    bit-identical pixels — the equality the tests pin. ``scans``
+    overrides the default spectral-selection + successive-approximation
+    script (each entry (comp_indices, Ss, Se, Ah, Al))."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    lq, cq = quality_tables(quality)
+    s = 2 if (subsample and not gray) else 1
+
+    if gray:
+        planes = [img.astype(np.uint8)]
+    else:
+        ycc = rgb_to_ycbcr(img)
+        yp, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if s == 2:
+            c0 = _pad_to(cbp, 2, 2).astype(np.int64)
+            cbp = ((c0[0::2, 0::2] + c0[0::2, 1::2] + c0[1::2, 0::2] + c0[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+            c1 = _pad_to(crp, 2, 2).astype(np.int64)
+            crp = ((c1[0::2, 0::2] + c1[0::2, 1::2] + c1[1::2, 0::2] + c1[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+        planes = [yp, cbp, crp]
+    nc = len(planes)
+    mcu_h, mcu_w = 8 * s, 8 * s
+    n_mcu_y = (h + mcu_h - 1) // mcu_h
+    n_mcu_x = (w + mcu_w - 1) // mcu_w
+    comp_zz: list[np.ndarray] = []
+    for ci, plane in enumerate(planes):
+        hv = s if ci == 0 else 1
+        need_h, need_w = n_mcu_y * hv * 8, n_mcu_x * hv * 8
+        padded = np.pad(
+            plane.astype(np.uint8),
+            ((0, need_h - plane.shape[0]), (0, need_w - plane.shape[1])),
+            mode="edge",
+        )
+        comp_zz.append(fdct_quant(_block_split(padded), lq if ci == 0 else cq))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, table in ((0, lq), (1, cq)) if not gray else ((0, lq),):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(table[p] for p in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hv = s if ci == 0 else 1
+        out += bytes([ci + 1, (hv << 4) | hv, 0 if ci == 0 else 1])
+    for tc_th, (bits, vals) in ((0x00, _FLAT_DC), (0x10, _FLAT_AC)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits[1:17]) + bytes(vals)
+    dc_codes = _build_codes(*_FLAT_DC)
+    ac_codes = _build_codes(*_FLAT_AC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    grid_w = [n_mcu_x * (s if ci == 0 else 1) for ci in range(nc)]
+    hmax = s
+    vmax = s
+    for comp_idxs, ss, se, ah, al in scans or _default_scan_script(nc):
+        ns = len(comp_idxs)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idxs:
+            out += bytes([ci + 1, 0x00])  # flat DC table 0 / AC table 0
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        preds = [0] * nc
+        rst_state = {"unit": 0, "rst": 0}
+
+        def _maybe_restart_enc() -> None:
+            if (
+                restart_interval
+                and rst_state["unit"]
+                and rst_state["unit"] % restart_interval == 0
+            ):
+                _emit_eobrun(bw, ac_codes, state)
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_state["rst"] % 8])
+                rst_state["rst"] += 1
+                for i in range(nc):
+                    preds[i] = 0
+
+        if ss == 0:  # DC scan — interleaved MCU order (or single comp)
+            if ns > 1 or nc == 1:
+                for my in range(n_mcu_y):
+                    for mx in range(n_mcu_x):
+                        _maybe_restart_enc()
+                        rst_state["unit"] += 1
+                        for ci in comp_idxs:
+                            hv = s if ci == 0 else 1
+                            for by in range(hv):
+                                for bx in range(hv):
+                                    bi = (my * hv + by) * grid_w[ci] + (mx * hv + bx)
+                                    if ah == 0:
+                                        preds[ci] = _enc_block_dc_first(
+                                            bw, comp_zz[ci][bi], preds[ci], al, dc_codes
+                                        )
+                                    else:
+                                        _enc_block_dc_refine(bw, comp_zz[ci][bi], al)
+            else:
+                ci = comp_idxs[0]
+                hv = s if ci == 0 else 1
+                bh_ni = (-(-(h * hv) // vmax) + 7) // 8
+                bw_ni = (-(-(w * hv) // hmax) + 7) // 8
+                for by in range(bh_ni):
+                    for bx in range(bw_ni):
+                        _maybe_restart_enc()
+                        rst_state["unit"] += 1
+                        bi = by * grid_w[ci] + bx
+                        if ah == 0:
+                            preds[ci] = _enc_block_dc_first(
+                                bw, comp_zz[ci][bi], preds[ci], al, dc_codes
+                            )
+                        else:
+                            _enc_block_dc_refine(bw, comp_zz[ci][bi], al)
+        else:  # AC scan — single component, non-interleaved block order
+            if ns != 1:
+                raise ValueError("progressive AC scans are single-component")
+            ci = comp_idxs[0]
+            hv = s if ci == 0 else 1
+            bh_ni = (-(-(h * hv) // vmax) + 7) // 8
+            bw_ni = (-(-(w * hv) // hmax) + 7) // 8
+            for by in range(bh_ni):
+                for bx in range(bw_ni):
+                    _maybe_restart_enc()
+                    rst_state["unit"] += 1
+                    zz = comp_zz[ci][by * grid_w[ci] + bx]
+                    if ah == 0:
+                        _enc_block_ac_first(bw, zz, ss, se, al, ac_codes, state)
+                    else:
+                        _enc_block_ac_refine(bw, zz, ss, se, al, ac_codes, state)
+            _emit_eobrun(bw, ac_codes, state)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ----------------------------------------------------------
 
 # absolute decode-size cap: 64 MiB of int64 DCT coefficients (the PNG
@@ -495,7 +795,7 @@ def encode_jpeg(
 MAX_DECODE_BLOCKS = (64 * 1024 * 1024) // (64 * 8)
 
 _UNSUPPORTED_SOF = {
-    0xC1: "extended sequential (SOF1)", 0xC2: "progressive (SOF2)",
+    0xC1: "extended sequential (SOF1)",
     0xC3: "lossless (SOF3)", 0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)", 0xC7: "differential lossless (SOF7)",
     0xC9: "arithmetic sequential (SOF9)", 0xCA: "arithmetic progressive (SOF10)",
@@ -519,6 +819,254 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"truncated JPEG structure: {type(exc).__name__}: {exc}") from exc
 
 
+def _find_marker_after(payload: bytes, start: int) -> int:
+    """Byte position of the first real marker (not a stuffed 0xFF00,
+    not an RSTn) at or after ``start`` — the structural end of a scan's
+    entropy data, independent of how many bits the decoder consumed."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    raise ValueError("unterminated JPEG scan")
+
+
+def _jpeg_geometry(comps: list[dict], h: int, w: int, payload_len: int) -> dict:
+    """MCU / block-grid dimensions + the baseline path's hostile-input
+    bounds, shared by the progressive decoder (grids allocate once, so
+    the caps must hold before any allocation)."""
+    if h == 0 or w == 0:
+        raise ValueError("JPEG declares zero dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    if n_mcu_x * n_mcu_y * blocks_per_mcu > 4 * payload_len:
+        raise ValueError("JPEG dimensions implausible for payload size")
+    if n_mcu_x * n_mcu_y * blocks_per_mcu > MAX_DECODE_BLOCKS:
+        raise ValueError("JPEG dimensions implausible: coefficient buffer over cap")
+    geom = {
+        "hmax": hmax, "vmax": vmax,
+        "n_mcu_x": n_mcu_x, "n_mcu_y": n_mcu_y,
+        "grid_w": [n_mcu_x * c["h"] for c in comps],
+        "grid_h": [n_mcu_y * c["v"] for c in comps],
+        # non-interleaved (single-component scan) block dims, A.2.2
+        "ni_w": [(-(-(w * c["h"]) // hmax) + 7) // 8 for c in comps],
+        "ni_h": [(-(-(h * c["v"]) // vmax) + 7) // 8 for c in comps],
+    }
+    return geom
+
+
+def _dec_block_ac_first(reader, zz, ac_t, ss, se, al, eobrun: int) -> int:
+    """T.81 G.2 / jdphuff decode_mcu_AC_first for one block; returns
+    the updated end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_t)
+        r, sbits = rs >> 4, rs & 0xF
+        if sbits == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        if sbits > 13:
+            raise ValueError("invalid AC magnitude category")
+        zz[k] = _extend(reader.receive(sbits), sbits) << al
+        k += 1
+    return eobrun
+
+
+def _dec_block_ac_refine(reader, zz, ac_t, ss, se, al, eobrun: int) -> int:
+    """T.81 G.2 / jdphuff decode_mcu_AC_refine: r counts zero-history
+    positions; every nonzero-history coefficient passed over absorbs a
+    correction bit; EOB runs still consume correction bits per block."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, sbits = rs >> 4, rs & 0xF
+            sval = 0
+            if sbits:
+                if sbits != 1:
+                    raise ValueError("invalid AC refine category")
+                sval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit():
+                        if (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if sval and k <= se:
+                zz[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit():
+                    if (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    start: int,
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int, se: int, ah: int, al: int,
+    htables: dict,
+    coef: list[np.ndarray],
+    geom: dict,
+    restart_interval: int,
+) -> None:
+    """Decode one progressive scan's entropy data into the coefficient
+    grids. DC scans (Ss=0) may interleave components in MCU order; AC
+    scans are single-component in non-interleaved block order (A.2.2).
+    Restart intervals reset DC predictors and the EOB run."""
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+        raise ValueError("invalid progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    reader = _BitReader(payload, start)
+    preds = [0] * len(comps)
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.consume_restart()
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    if ss == 0:
+        dc_tables = {}
+        for ci, dc_id, _ac_id in scan_comps:
+            if ah == 0:
+                t = htables.get((0, dc_id))
+                if t is None:
+                    raise ValueError("missing DC huffman table for scan")
+                dc_tables[ci] = t
+
+        def dc_block(ci: int, bi: int) -> None:
+            zz = coef[ci][bi]
+            if ah == 0:
+                t = reader.decode_symbol(dc_tables[ci])
+                if t > 11:
+                    raise ValueError("invalid DC magnitude category")
+                diff = _extend(reader.receive(t), t) if t else 0
+                preds[ci] += diff
+                zz[0] = preds[ci] << al
+            else:
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+
+        if len(scan_comps) > 1 or len(comps) == 1:
+            # interleaved MCU order (a 1-component image's MCU is one
+            # block, so both orders coincide)
+            for my in range(geom["n_mcu_y"]):
+                for mx in range(geom["n_mcu_x"]):
+                    maybe_restart()
+                    for ci, _dc_id, _ac_id in scan_comps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                bi = (my * c["v"] + by) * geom["grid_w"][ci] + mx * c["h"] + bx
+                                dc_block(ci, bi)
+                    unit += 1
+        else:
+            ci = scan_comps[0][0]
+            for by in range(geom["ni_h"][ci]):
+                for bx in range(geom["ni_w"][ci]):
+                    maybe_restart()
+                    dc_block(ci, by * geom["grid_w"][ci] + bx)
+                    unit += 1
+        return
+
+    ci, _dc_id, ac_id = scan_comps[0]
+    ac_t = htables.get((1, ac_id))
+    if ac_t is None:
+        raise ValueError("missing AC huffman table for scan")
+    for by in range(geom["ni_h"][ci]):
+        for bx in range(geom["ni_w"][ci]):
+            maybe_restart()
+            zz = coef[ci][by * geom["grid_w"][ci] + bx]
+            if ah == 0:
+                eobrun = _dec_block_ac_first(reader, zz, ac_t, ss, se, al, eobrun)
+            else:
+                eobrun = _dec_block_ac_refine(reader, zz, ac_t, ss, se, al, eobrun)
+            unit += 1
+
+
+def _reassemble_progressive(
+    comps: list[dict],
+    coef: list[np.ndarray] | None,
+    qtables: dict[int, np.ndarray],
+    geom: dict | None,
+    h: int, w: int,
+) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient grids (grid
+    row-major order, unlike the baseline path's MCU scan order)."""
+    if coef is None or geom is None:
+        raise ValueError("progressive JPEG with no scans")
+    planes: list[np.ndarray] = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        blocks = coef[ci]
+        deq = np.zeros((len(blocks), 8, 8), dtype=np.int64)
+        deq.reshape(len(blocks), 64)[:, ZIGZAG] = blocks
+        deq *= q
+        pix = idct_blocks(deq)
+        gh, gw = geom["grid_h"][ci], geom["grid_w"][ci]
+        plane = pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        ry, rx = geom["vmax"] // c["v"], geom["hmax"] // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise ValueError("unsupported component count")
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -529,16 +1077,30 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     restart_interval = 0
     pos = 2
     scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp (grid_blocks, 64) int64
+    geom: dict | None = None
+    n_scans = 0
 
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while payload[pos + 1] == 0xFF:  # optional fill bytes (B.1.1.2)
+            pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI — legal terminator of a progressive stream
+            if progressive and n_scans:
+                break
+            raise ValueError("EOI before any image data")
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # parameterless
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -555,7 +1117,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DQT segment")
                 qtables[tq] = _dezigzag_table(list(seg[o + 1 : o + 65]))
                 o += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -586,18 +1149,46 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             ns = seg[0]
             if not comps:
                 raise ValueError("SOS before SOF")
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG not supported")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
+            this_scan: list[tuple[int, int, int]] = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 matches = [j for j, c in enumerate(comps) if c["id"] == cid]
                 if not matches:
                     raise ValueError(f"SOS references unknown component id {cid}")
-                scan_map.append((matches[0], tt >> 4, tt & 0xF))
-            pos += seglen
-            break
+                this_scan.append((matches[0], tt >> 4, tt & 0xF))
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError("multi-scan sequential JPEG not supported")
+                scan_map = this_scan
+                pos += seglen
+                break
+            # progressive: decode this scan into the coefficient grids,
+            # then continue the marker loop (tables may be redefined)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if coef is None:
+                geom = _jpeg_geometry(comps, h, w, len(payload))
+                coef = [
+                    np.zeros((geom["grid_h"][ci] * geom["grid_w"][ci], 64), dtype=np.int64)
+                    for ci in range(len(comps))
+                ]
+            n_scans += 1
+            if n_scans > 512:
+                raise ValueError("JPEG scan count implausible")
+            entropy_start = pos + seglen
+            _decode_prog_scan(
+                payload, entropy_start, comps, this_scan, ss, se, ah, al,
+                htables, coef, geom, restart_interval,
+            )
+            pos = _find_marker_after(payload, entropy_start)
+            continue
         # APPn / COM / others: skip
         pos += seglen
+
+    if progressive:
+        return _reassemble_progressive(comps, coef, qtables, geom, h, w)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

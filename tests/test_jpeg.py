@@ -102,8 +102,12 @@ def test_unsupported_modes_raise_loudly():
     img = synth_image(1, 16, 16)
     b = bytearray(encode_jpeg(img))
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF2 is SUPPORTED since round 5 second half — but rewriting a
+    # BASELINE stream's SOF marker yields a malformed progressive
+    # stream (its one full-band interleaved scan is an illegal
+    # progressive DC scan with Se=63) → ValueError, not a decode
+    b[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(b))
     b[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="arithmetic"):
