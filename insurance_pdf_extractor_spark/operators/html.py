@@ -228,6 +228,10 @@ def _parse_tag(
     p = m.end()
     attrs: dict[str, str] = {}
     n = len(buf)
+    # fast path: the common bare tag (<p>, <b>, </em>-mates…) ends
+    # immediately after the name — skip the attribute machinery
+    if p < n and buf[p] == 0x3E:
+        return name, attrs, False, p + 1
     self_closing = False
     while p < n:
         c = buf[p]

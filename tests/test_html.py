@@ -50,6 +50,46 @@ def test_unknown_entity_is_literal():
     assert decode_entities("&notanentity;") == "&notanentity;"
 
 
+def test_entities_match_stdlib_oracle():
+    """Every named entity in the supported subset must decode exactly
+    as Python's independent html.unescape does; numeric forms likewise
+    (except the spec divergence: unescape maps C1 codepoints through
+    windows-1252, we keep raw codepoints — excluded range)."""
+    import html as _html
+
+    from insurance_pdf_extractor_spark.operators.html import _NAMED_ENTITIES
+
+    for name, ch in _NAMED_ENTITIES.items():
+        assert _html.unescape(f"&{name};") == ch, name
+    # clean codepoints only: html.unescape additionally DROPS HTML5
+    # "invalid" codepoints (controls like 0x7F, noncharacters like
+    # U+10FFFF) while this decoder keeps them — a documented divergence
+    # in favor of byte-faithful extraction
+    for cp in [65, 0x20AC, 0x4E2D, 10, 0xE9, 0x1F600]:
+        assert decode_entities(f"&#{cp};") == _html.unescape(f"&#{cp};"), cp
+        assert decode_entities(f"&#x{cp:X};") == _html.unescape(f"&#x{cp:X};"), cp
+
+
+def test_extract_html_never_raises_property():
+    """Hypothesis fuzz: arbitrary bytes never raise, offsets stay
+    in-range and sorted per the emission order contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def prop(b):
+        lines, media = extract_html(b"<html>" + b)
+        offs = [o for _p, o, _t in lines] + [o for _r, o in media]
+        for o in offs:
+            assert 0 <= o < len(b) + 6
+        from insurance_pdf_extractor_spark.operators.html import parse_html_meta
+
+        parse_html_meta(b"<html>" + b)
+
+    prop()
+
+
 # ---------------------------------------------------------------------------
 # tokenizer structure
 # ---------------------------------------------------------------------------
