@@ -424,6 +424,87 @@ def test_media_spans_interleave_in_order():
 
 
 # ---------------------------------------------------------------------------
+# differential oracle: stdlib HTMLParser reference implementation
+# ---------------------------------------------------------------------------
+
+
+def test_differential_vs_stdlib_parser_corpus():
+    """The engine's regex/byte tokenizer vs an INDEPENDENT stdlib
+    html.parser-based reference driving the same block model: block
+    text sequences and media-ref sequences must agree on the rendered
+    corpus (offsets are pinned by the fixture geometry mirror — the
+    stdlib parser cannot report byte positions)."""
+    from naive_html import naive_extract
+
+    from insurance_pdf_extractor_spark.sources.render import render_html
+
+    for doc_id, n_words in [("dd-0", 0), ("dd-1", 7), ("dd-2", 95), ("dd-3", 200), ("dd-4", 411)]:
+        rng = random.Random(hash(doc_id) & 0xFFFF)
+        text = " ".join(rng.choice(_VOCAB) for _ in range(n_words))
+        b, _ = render_html(doc_id, text)
+        lines, media = extract_html(b)
+        ref_texts, ref_media = naive_extract(b)
+        assert [t for _p, _o, t in lines] == ref_texts, doc_id
+        assert [m[0] for m in media] == ref_media, doc_id
+
+
+def test_differential_vs_stdlib_parser_dirt():
+    """Dirty-construct differential: mixed casing, implied closes,
+    nested tables, unquoted attributes, comments with markup, quoted
+    '>' — both implementations must extract the same content."""
+    from naive_html import naive_extract
+
+    cases = [
+        b"<html><body><P>upper<p>implied close<LI>item<li>item2</body>",
+        b'<html><TABLE><tr><td>a</td><td>b<table><tr><td>inner</td></tr></table></td></tr></TABLE>',
+        b"<html><p title='q > r'>quoted</p><img src=media:u/1 alt=x><p>tail</p>",
+        b"<html><!-- <p>no</p> --><div>yes</div><script>var p = '<p>no</p>'</script>",
+        b"<html><nav><p>menu</p><img src='media:nav/1'></nav><main><p>body text</p></main>",
+        b"<html><p>a<br>b<br/>c</p>",
+        b"<html><blockquote>quoted block</blockquote><pre>pre text</pre>",
+        b"<html><p>x &amp; y &lt;z&gt; &#65;&#x42;</p>",
+        b'<html><video src="media:v/1" controls></video><audio><source src="media:a/1"></audio>',
+    ]
+    for i, b in enumerate(cases):
+        lines, media = extract_html(b)
+        ref_texts, ref_media = naive_extract(b)
+        assert [t for _p, _o, t in lines] == ref_texts, (i, lines, ref_texts)
+        assert [m[0] for m in media] == ref_media, i
+
+
+def test_differential_vs_stdlib_parser_random_markup():
+    """Seeded random well-formed-ish markup soup: generated from a
+    grammar both parsers must agree on."""
+    from naive_html import naive_extract
+
+    rng = random.Random(99)
+    tags = ["p", "div", "b", "em", "span", "li", "h2", "td"]
+    for _trial in range(50):
+        parts = ["<html><body>"]
+        depth_stack = []
+        for _ in range(rng.randrange(5, 40)):
+            op = rng.random()
+            if op < 0.35:
+                t = rng.choice(tags)
+                parts.append(f"<{t}>")
+                depth_stack.append(t)
+            elif op < 0.55 and depth_stack:
+                parts.append(f"</{depth_stack.pop()}>")
+            elif op < 0.8:
+                parts.append(" ".join(rng.choice(_VOCAB) for _ in range(rng.randrange(1, 6))))
+            elif op < 0.9:
+                parts.append(f'<img src="media:r/{rng.randrange(9)}">')
+            else:
+                parts.append("<br>")
+        parts.append("</body></html>")
+        b = "".join(parts).encode()
+        lines, media = extract_html(b)
+        ref_texts, ref_media = naive_extract(b)
+        assert [t for _p, _o, t in lines] == ref_texts, b
+        assert [m[0] for m in media] == ref_media, b
+
+
+# ---------------------------------------------------------------------------
 # Spark pipeline (interleaved formats)
 # ---------------------------------------------------------------------------
 
