@@ -446,6 +446,10 @@ HTML_META = T.StructType(
         T.StructField("description", T.StringType(), True),
         T.StructField("og_title", T.StringType(), True),
         T.StructField("charset", T.StringType(), True),
+        # <html lang=…> — a language-ID prior for the text-quality
+        # stage (documents carry their declared language; the n-gram
+        # guesser stays the content-derived check)
+        T.StructField("lang", T.StringType(), True),
     ]
 )
 
@@ -460,6 +464,7 @@ def parse_html_meta(content: bytes | None) -> dict[str, str | None]:
         "description": None,
         "og_title": None,
         "charset": None,
+        "lang": None,
     }
     if not content or sniff_format(content) != "html":
         return out
@@ -497,6 +502,8 @@ def parse_html_meta(content: bytes | None) -> dict[str, str | None]:
             continue
         name, attrs, self_closing, after = _parse_tag(buf, lt, charset)
         i = after
+        if name == "html" and out["lang"] is None and attrs.get("lang"):
+            out["lang"] = attrs["lang"]
         if name == "body":
             break
         if name == "title" and not self_closing:

@@ -1949,7 +1949,8 @@ def q_windowed_metrics(spark, sf_dir):
            'D:20240116090000' AS modification_date,
            CAST(NULL AS VARCHAR) AS description,
            CAST(NULL AS VARCHAR) AS og_title,
-           CAST(NULL AS VARCHAR) AS charset
+           CAST(NULL AS VARCHAR) AS charset,
+           CAST(NULL AS VARCHAR) AS lang
     FROM g
     UNION ALL
     SELECT 'html' AS src,
@@ -1965,7 +1966,8 @@ def q_windowed_metrics(spark, sf_dir):
            'Insurance quote ' || CAST(doc_id AS VARCHAR) || ' — '
              || CAST(nw AS VARCHAR) || ' words' AS description,
            'Document ' || CAST(doc_id AS VARCHAR) AS og_title,
-           'utf-8' AS charset
+           'utf-8' AS charset,
+           'en' AS lang
     FROM g
     """,
 )
@@ -2003,6 +2005,7 @@ def q_pdf_metadata(spark, sf_dir):
         null_s.alias("description"),
         null_s.alias("og_title"),
         null_s.alias("charset"),
+        null_s.alias("lang"),
     )
     hraw = render_documents_raw(d, html_only=True)
     html = scan_html_meta(hraw).select(
@@ -2019,6 +2022,7 @@ def q_pdf_metadata(spark, sf_dir):
         F.col("meta.description").alias("description"),
         F.col("meta.og_title").alias("og_title"),
         F.col("meta.charset").alias("charset"),
+        F.col("meta.lang").alias("lang"),
     )
     return pdf.unionByName(html)
 

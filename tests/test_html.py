@@ -309,6 +309,9 @@ def test_parse_html_meta():
     assert m["description"] == "a — b"
     assert m["og_title"] == "OG title"
     assert m["charset"] == "utf-8"
+    assert m["lang"] is None
+    m = parse_html_meta(b'<!DOCTYPE html><html lang="fr-CA"><head><title>t</title></head>')
+    assert m["lang"] == "fr-CA"
 
 
 def test_parse_html_meta_stops_at_body_and_handles_garbage():
@@ -641,6 +644,39 @@ def test_field_extraction_equal_across_formats(spark):
     assert set(pdf) == set(html)
     for doc_id in pdf:
         assert pdf[doc_id] == html[doc_id], f"field divergence on {doc_id}"
+
+
+def test_spark_pipeline_hostile_html_poison_rows(spark):
+    """Mutated HTML documents flow through the Spark kernel without
+    task failure: every row yields a well-formed (possibly empty)
+    spans array — the poison-row discipline at the Arrow batch level."""
+    from insurance_pdf_extractor_spark.plans.pipeline import extract_documents
+    from insurance_pdf_extractor_spark.schema import DOCUMENTS_RAW
+    from insurance_pdf_extractor_spark.sources.render import render_html
+
+    base, _ = render_html("hz-1", " ".join(f"word{i % 9} data" for i in range(150)))
+    rng = random.Random(77)
+    rows = []
+    for t in range(30):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 15)):
+                b[rng.randrange(20, len(b))] = rng.randrange(256)  # keep magic intact
+        elif op == 1:
+            b = b[: rng.randrange(20, len(b))]
+        else:
+            i, j = sorted(rng.randrange(20, len(b)) for _ in range(2))
+            b = b[:i] + b[j:] + b[i:j]
+        rows.append((f"hz-{t}", bytearray(bytes(b)), [], 1, len(b)))
+    raw = spark.createDataFrame(rows, schema=DOCUMENTS_RAW)
+    out, rejects = extract_documents(raw, presalted=True)
+    got = out.collect()
+    assert len(got) + rejects.count() == 30
+    for r in got:
+        for s in r["spans"]:
+            assert s["kind"] in ("text", "media")
+            assert s["offset"] >= 0
 
 
 def test_classify_rejects_accepts_html_magic(spark):
