@@ -92,9 +92,9 @@ MEDIA_SRC_TAGS = frozenset(("img", "video", "audio", "source", "embed"))
 # RCDATA / raw-text / non-content elements: skip wholesale to the
 # matching close tag (first close wins, per the HTML5 tokenizer)
 RAW_TEXT = frozenset(("script", "style", "noscript", "template", "textarea", "title", "svg", "math"))
-VOID_TAGS = frozenset(
-    "area base br col embed hr img input link meta param source track wbr".split()
-)
+# NB: no void-element table is needed — void elements simply never
+# produce close tags, and the depth counters only track <a> and the
+# strip containers, none of which are void.
 
 _NAMED_ENTITIES = {
     "amp": "&",

@@ -1966,7 +1966,8 @@ def q_windowed_metrics(spark, sf_dir):
            'Insurance quote ' || CAST(doc_id AS VARCHAR) || ' — '
              || CAST(nw AS VARCHAR) || ' words' AS description,
            'Document ' || CAST(doc_id AS VARCHAR) AS og_title,
-           'utf-8' AS charset,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 23, 1) IN ('0','1','2','3')
+                THEN 'cp1252' ELSE 'utf-8' END AS charset,
            'en' AS lang
     FROM g
     """,

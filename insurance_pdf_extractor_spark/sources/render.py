@@ -255,6 +255,22 @@ def _html_word(word: str, j: int) -> str:
     return w
 
 
+# Deterministic per-doc CHARSET pick for HTML renders: a quarter of
+# pages ship windows-1252 with literal high-byte content (§ prefix,
+# accented caption words) instead of entities — the legacy-web shape
+# the charset sniff + per-charset decode must handle. The rule is one
+# md5 hex CHARACTER so the pdf_metadata gate's SQL oracle can
+# recompute it verbatim (substr(md5(doc_id),23,1) IN ('0'..'3')).
+def charset_for_doc(doc_id: str) -> str:
+    import hashlib
+
+    return (
+        "cp1252"
+        if hashlib.md5(doc_id.encode("utf-8")).hexdigest()[22] in "0123"
+        else "utf-8"
+    )
+
+
 def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
     """Deterministic HTML page for one document; returns (bytes, 1).
 
@@ -273,9 +289,11 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
         words[i : i + HTML_WORDS_PER_PARA]
         for i in range(0, len(words), HTML_WORDS_PER_PARA)
     ]
+    cs = charset_for_doc(doc_id)
+    meta_cs = "windows-1252" if cs == "cp1252" else "utf-8"
     out: list[str] = [
         "<!DOCTYPE html>\n"
-        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f'<html lang="en">\n<head>\n<meta charset="{meta_cs}">\n'
         f"<title>Document {_esc_html(doc_id)}</title>\n"
         f'<meta name="author" content="Author {_esc_html(doc_id)}">\n'
         f'<meta name="description" content="Insurance quote {_esc_html(doc_id)}'
@@ -299,7 +317,10 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
         body = " ".join(
             _html_word(w, base + j) if full else _esc_html(w) for j, w in enumerate(chunk)
         )
-        out.append(f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n')
+        # cp1252 pages carry the section mark and nbsp as LITERAL
+        # high bytes (the legacy-web shape); utf-8 pages as entities
+        prefix = f"\xa7{i + 1}\xa0" if cs == "cp1252" else f"&sect;{i + 1}&nbsp;"
+        out.append(f'<p id="para-{i}">{prefix}{body}</p>\n')
         if (i + 1) % HTML_MEDIA_EVERY == 0:
             k = (i + 1) // HTML_MEDIA_EVERY - 1
             import hashlib as _hl
@@ -315,9 +336,10 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
                 mtag = f'<video src="{ref}" controls></video>'
             else:
                 mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
+            capword = "r\xe9sum\xe9" if cs == "cp1252" else "chart"
             out.append(
                 f"<figure>{mtag}"
-                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
+                f"<figcaption>Exhibit {k} &mdash; claims {capword}</figcaption></figure>\n"
             )
         if (i + 1) % HTML_AD_EVERY == 0:
             out.append('<div class="ad">Advertisement</div>\n')
@@ -331,7 +353,7 @@ def render_html(doc_id: str, text: str) -> tuple[bytes, int]:
         ' <a href="/privacy">Privacy</a> &middot; <a href="/terms">Terms</a></p></footer>\n'
         "</body>\n</html>\n"
     )
-    return "".join(out).encode("utf-8"), 1
+    return "".join(out).encode(cs, "replace"), 1
 
 
 # Deterministic per-doc FORMAT pick for the interleaved corpus

@@ -402,7 +402,11 @@ def test_renderer_fixture_byte_mirror_and_spans():
     for i in range(30):
         n = rng.randrange(0, 140)
         cases.append((f"d-{i}", " ".join(rng.choice(vocab) for _ in range(n))))
+    from insurance_pdf_extractor_spark.sources.render import charset_for_doc
+
+    seen_charsets = set()
     for doc_id, text in cases:
+        seen_charsets.add(charset_for_doc(doc_id))
         rendered, n_pages = render_html(doc_id, text)
         assert rendered == fx_html_bytes(doc_id, text), doc_id
         got = [
@@ -410,6 +414,9 @@ def test_renderer_fixture_byte_mirror_and_spans():
             for s in extract_spans(rendered, [], n_pages)
         ]
         assert got == expected_html_spans(doc_id, text), doc_id
+    # the charset matrix must actually be exercised by these cases:
+    # cp1252 pages carry LITERAL § / é high bytes, utf-8 pages entities
+    assert seen_charsets == {"utf-8", "cp1252"}
 
 
 def test_media_spans_interleave_in_order():

@@ -299,6 +299,14 @@ def _esc_h(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def _fx_charset(doc_id: str) -> str:
+    return (
+        "cp1252"
+        if hashlib.md5(doc_id.encode("utf-8")).hexdigest()[22] in "0123"
+        else "utf-8"
+    )
+
+
 def _fx_html_word(word: str, j: int) -> str:
     w = _esc_h(word)
     if j % 11 == 3:
@@ -322,10 +330,12 @@ def expected_html_spans(
         words[i : i + _HTML_WORDS_PER_PARA]
         for i in range(0, len(words), _HTML_WORDS_PER_PARA)
     ]
+    cs = _fx_charset(doc_id)
+    meta_cs = "windows-1252" if cs == "cp1252" else "utf-8"
     out = bytearray()
     out += (
         "<!DOCTYPE html>\n"
-        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f'<html lang="en">\n<head>\n<meta charset="{meta_cs}">\n'
         f"<title>Document {_esc_h(doc_id)}</title>\n"
         f'<meta name="author" content="Author {_esc_h(doc_id)}">\n'
         f'<meta name="description" content="Insurance quote {_esc_h(doc_id)}'
@@ -341,14 +351,14 @@ def expected_html_spans(
         "</header>\n"
         f"<!-- build {_esc_h(doc_id)}: <div>ghost block</div> -->\n"
         "<main>\n"
-    ).encode("utf-8")
+    ).encode(cs, "replace")
 
     blocks: list[tuple[int, str]] = []  # (offset, collapsed text) pre-frequency
     media: list[tuple[str, int]] = []
 
     h1 = f"<h1>Document {_esc_h(doc_id)}</h1>\n"
     blocks.append((len(out) + len("<h1>"), f"Document {doc_id}"))
-    out += h1.encode("utf-8")
+    out += h1.encode(cs, "replace")
 
     for i, chunk in enumerate(paras):
         full = len(chunk) == _HTML_WORDS_PER_PARA
@@ -357,12 +367,13 @@ def expected_html_spans(
             _fx_html_word(w, base + j) if full else _esc_h(w) for j, w in enumerate(chunk)
         )
         open_tag = f'<p id="para-{i}">'
+        prefix = f"\xa7{i + 1}\xa0" if cs == "cp1252" else f"&sect;{i + 1}&nbsp;"
         blocks.append((len(out) + len(open_tag), f"§{i + 1} " + " ".join(chunk)))
-        out += f"{open_tag}&sect;{i + 1}&nbsp;{body}</p>\n".encode("utf-8")
+        out += f"{open_tag}{prefix}{body}</p>\n".encode(cs, "replace")
         if (i + 1) % _HTML_MEDIA_EVERY == 0:
             k = (i + 1) // _HTML_MEDIA_EVERY - 1
             ref = f"media:{_esc_h(doc_id)}/{k}"
-            kk = k + int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[20:22], 16)
+            kk = k + int(hashlib.md5(doc_id.encode(cs, "replace")).hexdigest()[20:22], 16)
             if kk % 3 == 0:
                 mtag = f'<img src="{ref}" alt="exhibit {k}">'
                 m_off = len("<figure>")  # the <img byte
@@ -372,18 +383,19 @@ def expected_html_spans(
             else:
                 mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
                 m_off = len("<figure><audio controls>")  # the <source byte
+            capword = "r\xe9sum\xe9" if cs == "cp1252" else "chart"
             fig = (
                 f"<figure>{mtag}"
-                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
+                f"<figcaption>Exhibit {k} &mdash; claims {capword}</figcaption></figure>\n"
             )
             media.append((f"media:{doc_id}/{k}", len(out) + m_off))
             cap_off = len(out) + fig.index("<figcaption>") + len("<figcaption>")
-            blocks.append((cap_off, f"Exhibit {k} — claims chart"))
-            out += fig.encode("utf-8")
+            blocks.append((cap_off, f"Exhibit {k} — claims {capword}"))
+            out += fig.encode(cs, "replace")
         if (i + 1) % _HTML_AD_EVERY == 0:
             ad = '<div class="ad">Advertisement</div>\n'
             blocks.append((len(out) + len('<div class="ad">'), "Advertisement"))
-            out += ad.encode("utf-8")
+            out += ad.encode(cs, "replace")
     # the tags row is link-dense (dropped by the density heuristic) and
     # the aside/footer chrome is structurally stripped: none of the
     # trailing template emits spans, so its bytes shift no offsets
@@ -406,6 +418,8 @@ def expected_html_spans(
 def fx_html_bytes(doc_id: str, text: str) -> bytes:
     """Full byte mirror of render_html (for the byte-identity test —
     includes the span-free trailing template)."""
+    cs = _fx_charset(doc_id)
+    meta_cs = "windows-1252" if cs == "cp1252" else "utf-8"
     words = (text or "").split()
     paras = [
         words[i : i + _HTML_WORDS_PER_PARA]
@@ -414,7 +428,7 @@ def fx_html_bytes(doc_id: str, text: str) -> bytes:
     out = bytearray()
     out += (
         "<!DOCTYPE html>\n"
-        '<html lang="en">\n<head>\n<meta charset="utf-8">\n'
+        f'<html lang="en">\n<head>\n<meta charset="{meta_cs}">\n'
         f"<title>Document {_esc_h(doc_id)}</title>\n"
         f'<meta name="author" content="Author {_esc_h(doc_id)}">\n'
         f'<meta name="description" content="Insurance quote {_esc_h(doc_id)}'
@@ -431,28 +445,30 @@ def fx_html_bytes(doc_id: str, text: str) -> bytes:
         f"<!-- build {_esc_h(doc_id)}: <div>ghost block</div> -->\n"
         "<main>\n"
         f"<h1>Document {_esc_h(doc_id)}</h1>\n"
-    ).encode("utf-8")
+    ).encode(cs, "replace")
     for i, chunk in enumerate(paras):
         full = len(chunk) == _HTML_WORDS_PER_PARA
         base = i * _HTML_WORDS_PER_PARA
         body = " ".join(
             _fx_html_word(w, base + j) if full else _esc_h(w) for j, w in enumerate(chunk)
         )
-        out += f'<p id="para-{i}">&sect;{i + 1}&nbsp;{body}</p>\n'.encode("utf-8")
+        prefix = f"\xa7{i + 1}\xa0" if cs == "cp1252" else f"&sect;{i + 1}&nbsp;"
+        out += f'<p id="para-{i}">{prefix}{body}</p>\n'.encode(cs, "replace")
         if (i + 1) % _HTML_MEDIA_EVERY == 0:
             k = (i + 1) // _HTML_MEDIA_EVERY - 1
             ref = f"media:{_esc_h(doc_id)}/{k}"
-            kk = k + int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[20:22], 16)
+            kk = k + int(hashlib.md5(doc_id.encode(cs, "replace")).hexdigest()[20:22], 16)
             if kk % 3 == 0:
                 mtag = f'<img src="{ref}" alt="exhibit {k}">'
             elif kk % 3 == 1:
                 mtag = f'<video src="{ref}" controls></video>'
             else:
                 mtag = f'<audio controls><source src="{ref}" type="audio/mpeg"></audio>'
+            capword = "r\xe9sum\xe9" if cs == "cp1252" else "chart"
             out += (
                 f"<figure>{mtag}"
-                f"<figcaption>Exhibit {k} &mdash; claims chart</figcaption></figure>\n"
-            ).encode("utf-8")
+                f"<figcaption>Exhibit {k} &mdash; claims {capword}</figcaption></figure>\n"
+            ).encode(cs, "replace")
         if (i + 1) % _HTML_AD_EVERY == 0:
             out += b'<div class="ad">Advertisement</div>\n'
     out += (
@@ -464,7 +480,7 @@ def fx_html_bytes(doc_id: str, text: str) -> bytes:
         "<footer><p>&copy; 2026 Acme Insurance Co &middot;"
         ' <a href="/privacy">Privacy</a> &middot; <a href="/terms">Terms</a></p></footer>\n'
         "</body>\n</html>\n"
-    ).encode("utf-8")
+    ).encode(cs, "replace")
     return bytes(out)
 
 
