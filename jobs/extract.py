@@ -12,6 +12,11 @@ Local smoke:
     spark-submit --master local[8] jobs/extract.py \
         --input /tmp/raw --output /tmp/out --run-id smoke
 
+Input documents may interleave FORMATS — PDF content streams and HTML
+pages in one table — with no flags: the kernel dispatches per document
+by magic sniff (operators/html.py, plans/pipeline.py), and non-PDF
+documents route around the PDF page-range shard path.
+
 The job is resumable: re-running with the same --run-id and --output
 processes only buckets missing from the checkpoint table
 (plans/checkpoint.py). The master is NOT hard-coded — spark-submit
